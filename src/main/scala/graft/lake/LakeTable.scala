@@ -1,0 +1,235 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One committed table version. `files` carries bucket + row count per data
+  * file — the manifest is what makes MERGE-time partition (bucket) pruning
+  * possible without a metastore (SURVEY.md §4 "partition pruning").
+  *
+  * Lineage fields (per north rule): segment offset range applied by the
+  * batch, per-bucket row counts, commit snapshot id, and batch metrics.
+  */
+final case class DataFileEntry(path: String, bucket: Int, rows: Long)
+
+final case class Snapshot(
+    version: Long,
+    batchId: String,
+    parentVersion: Long,
+    watermarkSegment: Long, // highest WAL segment id applied (-1 = none)
+    schemaJson: String,
+    numBuckets: Int,
+    files: Seq[DataFileEntry],
+    lineage: Seq[Map[String, Any]],
+    metrics: Map[String, Any]) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+}
+
+/** Iceberg-style lake table implemented on plain parquet + JSON snapshot
+  * manifests committed by atomic rename (write-temp → `Files.move(ATOMIC_MOVE)`).
+  * Replaces the reference's overwrite-only sinks (migrator.py:456-463) with
+  * versioned, exactly-once commits:
+  *   - a snapshot file `snapshots/v%012d.json` IS the commit point — data
+  *     files not referenced by a committed snapshot are invisible (torn
+  *     writes leave only orphans, never a torn table);
+  *   - re-committing the same batchId is detected and skipped (idempotent);
+  *   - additive schema evolution = a new snapshot with a widened schemaJson;
+  *     old files are read through the current schema (missing columns → null).
+  *
+  * Layout: `root/snapshots/v*.json`, `root/data/<file>.parquet`.
+  * Rows carry system columns `_seq` (last-writer binlog position) and
+  * `_deleted` (tombstone — keeps late, older events losing across batches).
+  */
+final class LakeTable(val root: Path) {
+  import LakeTable._
+
+  def snapshotsDir: Path = root.resolve("snapshots")
+  def dataDir: Path = root.resolve("data")
+
+  def currentSnapshot(): Snapshot = {
+    val versions = listVersions()
+    require(versions.nonEmpty, s"no snapshots in $snapshotsDir")
+    readSnapshot(versions.max)
+  }
+
+  def listVersions(): Seq[Long] =
+    Files.list(snapshotsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case SnapName(v) => v.toLong }
+      .toSeq
+
+  def readSnapshot(version: Long): Snapshot = {
+    val node = Mapper.readTree(Files.readAllBytes(snapPath(version)))
+    Snapshot(
+      version = node.get("version").asLong(),
+      batchId = node.get("batchId").asText(),
+      parentVersion = node.get("parentVersion").asLong(),
+      watermarkSegment = node.get("watermarkSegment").asLong(),
+      schemaJson = node.get("schemaJson").asText(),
+      numBuckets = node.get("numBuckets").asInt(),
+      files = node.get("files").elements().asScala.map { f =>
+        DataFileEntry(f.get("path").asText(), f.get("bucket").asInt(), f.get("rows").asLong())
+      }.toSeq,
+      lineage = node.get("lineage").elements().asScala.map(jsonToMap).toSeq,
+      metrics = jsonToMap(node.get("metrics")))
+  }
+
+  private def jsonToMap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Any] =
+    n.fields().asScala.map { e =>
+      val v = e.getValue
+      e.getKey -> (if (v.isIntegralNumber) v.asLong()
+                   else if (v.isFloatingPointNumber) v.asDouble()
+                   else v.asText(): Any)
+    }.toMap
+
+  private def snapPath(version: Long): Path =
+    snapshotsDir.resolve(f"v$version%012d.json")
+
+  /** Atomic commit. Returns the committed snapshot — which is `snap` on
+    * success, or the already-committed identical snapshot when the same
+    * batchId raced/was replayed (idempotent re-commit, SURVEY.md §2.10). */
+  def commit(snap: Snapshot): Snapshot = {
+    val json = renderSnapshot(snap)
+    val tmp = snapshotsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    try {
+      Files.move(tmp, snapPath(snap.version), StandardCopyOption.ATOMIC_MOVE)
+      snap
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        val existing = readSnapshot(snap.version)
+        require(existing.batchId == snap.batchId,
+          s"commit conflict at v${snap.version}: ${existing.batchId} != ${snap.batchId}")
+        existing
+    }
+  }
+
+  /** Schema including system columns, as stored in data files. */
+  def physicalSchema(s: Snapshot): StructType =
+    StructType(s.schema.fields ++ Array(
+      StructField(SeqCol, LongType, nullable = false),
+      StructField(DeletedCol, BooleanType, nullable = false)))
+
+  /** Read raw rows (incl. tombstones + system cols) of the given buckets;
+    * `buckets = None` reads everything. Missing evolved columns in old
+    * files are null-filled by the explicit read schema. */
+  def readRaw(spark: SparkSession, snap: Snapshot, buckets: Option[Set[Int]] = None): DataFrame = {
+    val sel = buckets match {
+      case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
+      case None     => snap.files
+    }
+    val schema = physicalSchema(snap)
+    if (sel.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(sel.map(f => root.resolve(f.path).toString): _*)
+  }
+
+  /** Live rows, user schema only (tombstones and system columns dropped). */
+  def read(spark: SparkSession): DataFrame = {
+    val snap = currentSnapshot()
+    val cols = snap.schema.fieldNames.map(col).toSeq
+    readRaw(spark, snap).filter(!col(DeletedCol)).select(cols: _*)
+  }
+
+  /** Per-commit lineage rows across all snapshots → the `_lineage` metadata
+    * table (north rule: per-partition offset ranges, row counts, snapshot ids). */
+  def lineage(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    listVersions().sorted.flatMap { v =>
+      val s = readSnapshot(v)
+      s.lineage.map { m =>
+        (s.version, s.batchId,
+          m.getOrElse("bucket", -1L).toString.toLong,
+          m.getOrElse("rows", 0L).toString.toLong,
+          m.getOrElse("segFrom", -1L).toString.toLong,
+          m.getOrElse("segTo", -1L).toString.toLong)
+      }
+    }.toDF("snapshot_version", "batch_id", "bucket", "rows", "seg_from", "seg_to")
+  }
+
+  /** Per-commit metrics rows → the `_metrics` metadata table. */
+  def metrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    listVersions().sorted.map { v =>
+      val s = readSnapshot(v)
+      def g(k: String): Long = s.metrics.get(k).map(_.toString.toDouble.toLong).getOrElse(0L)
+      (s.version, s.batchId, g("events"), g("upserts"), g("deletes"),
+        g("durationMs"), s.watermarkSegment)
+    }.toDF("snapshot_version", "batch_id", "events", "upserts", "deletes",
+      "duration_ms", "watermark_segment")
+  }
+
+  /** Data files not referenced by any snapshot (orphans from crashed batches).
+    * Safe to delete; exposed for tests/GC. */
+  def orphanFiles(): Seq[Path] = {
+    val referenced = listVersions().flatMap(v => readSnapshot(v).files.map(_.path)).toSet
+    if (!Files.isDirectory(dataDir)) Seq.empty
+    else Files.list(dataDir).iterator().asScala
+      .filter(p => !referenced.contains(root.relativize(p).toString))
+      .toSeq
+  }
+}
+
+object LakeTable {
+  val SeqCol = "_seq"
+  val DeletedCol = "_deleted"
+  val BucketCol = "_bucket"
+  private val SnapName = raw"v(\d+)\.json".r
+  private[lake] val Mapper = new ObjectMapper()
+
+  /** Bucket assignment — pure function of the key so it never needs to be
+    * stored: `pmod(xxhash64(url), numBuckets)` (north rule's salted url-hash
+    * partitioning of the lake layout). */
+  def bucketExpr(numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("url")), lit(numBuckets.toLong)).cast("int")
+
+  def create(rootDir: String, schema: StructType, numBuckets: Int): LakeTable = {
+    val root = Paths.get(rootDir)
+    Files.createDirectories(root.resolve("snapshots"))
+    Files.createDirectories(root.resolve("data"))
+    val t = new LakeTable(root)
+    t.commit(Snapshot(
+      version = 0L, batchId = "create", parentVersion = -1L,
+      watermarkSegment = -1L, schemaJson = schema.json, numBuckets = numBuckets,
+      files = Seq.empty, lineage = Seq.empty, metrics = Map.empty))
+    t
+  }
+
+  def load(rootDir: String): LakeTable = new LakeTable(Paths.get(rootDir))
+
+  def renderSnapshot(s: Snapshot): String = {
+    val node = Mapper.createObjectNode()
+    node.put("version", s.version)
+    node.put("batchId", s.batchId)
+    node.put("parentVersion", s.parentVersion)
+    node.put("watermarkSegment", s.watermarkSegment)
+    node.put("schemaJson", s.schemaJson)
+    node.put("numBuckets", s.numBuckets)
+    val files = node.putArray("files")
+    s.files.foreach { f =>
+      val fn = files.addObject()
+      fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
+    }
+    val lin = node.putArray("lineage")
+    s.lineage.foreach { m =>
+      val ln = lin.addObject()
+      m.foreach { case (k, v) => putAny(ln, k, v) }
+    }
+    val met = node.putObject("metrics")
+    s.metrics.foreach { case (k, v) => putAny(met, k, v) }
+    Mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  private def putAny(n: com.fasterxml.jackson.databind.node.ObjectNode, k: String, v: Any): Unit =
+    v match {
+      case l: Long   => n.put(k, l)
+      case i: Int    => n.put(k, i.toLong)
+      case d: Double => n.put(k, d)
+      case other     => n.put(k, String.valueOf(other))
+    }
+}

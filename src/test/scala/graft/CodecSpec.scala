@@ -1,0 +1,144 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal}
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.{MainframeNum, RecordCodec}
+import graft.model.ChangeEvent
+
+/** Codec semantics mirror /root/reference/mf_spark/utils/encoding.py:112-276.
+  * Round-trip properties + known-answer vectors. */
+class CodecSpec extends AnyFunSuite with PropHelpers {
+
+  // -- known-answer vectors (hand-computed per COBOL storage rules) --------
+
+  test("packed decimal known vectors (encoding.py:112-161 semantics)") {
+    // 12345 scale 2 → 123.45, bytes 12 34 5C
+    assert(MainframeNum.decodePacked(Array(0x12, 0x34, 0x5c).map(_.toByte), 2) ==
+      new JBigDecimal("123.45"))
+    // negative sign nibble D
+    assert(MainframeNum.decodePacked(Array(0x12, 0x34, 0x5d).map(_.toByte), 0) ==
+      new JBigDecimal("-12345"))
+    // F treated positive (unsigned)
+    assert(MainframeNum.decodePacked(Array(0x00, 0x7f).map(_.toByte), 0) ==
+      new JBigDecimal("7"))
+  }
+
+  test("zoned decimal known vectors (encoding.py:209-256 semantics)") {
+    // "123" positive: F1 F2 C3
+    assert(MainframeNum.decodeZoned(Array(0xf1, 0xf2, 0xc3).map(_.toByte), 0) ==
+      new JBigDecimal("123"))
+    // negative last zone D: F1 F2 D3 → -123
+    assert(MainframeNum.decodeZoned(Array(0xf1, 0xf2, 0xd3).map(_.toByte), 0) ==
+      new JBigDecimal("-123"))
+    // unsigned F zone in last byte
+    assert(MainframeNum.decodeZoned(Array(0xf9, 0xf9).map(_.toByte), 1) ==
+      new JBigDecimal("9.9"))
+  }
+
+  test("binary int known vectors (encoding.py:258-276 semantics)") {
+    assert(MainframeNum.decodeBinaryLong(Array(0x00, 0x01).map(_.toByte)) == 1L)
+    assert(MainframeNum.decodeBinaryLong(Array(0xff, 0xff).map(_.toByte)) == -1L)
+    assert(MainframeNum.decodeBinaryLong(Array(0x80, 0x00).map(_.toByte)) == -32768L)
+    assert(MainframeNum.decodeBinaryLong(
+      Array(0x00, 0x00, 0x30, 0x39).map(_.toByte)) == 12345L)
+  }
+
+  test("EBCDIC cp037 round-trip (encoding.py:19-40; JVM charset IBM037)") {
+    val s = "https://d0.example.com/page/42?a=B&c=9"
+    assert(MainframeNum.ebcdicToString(MainframeNum.stringToEbcdic(s)) == s)
+    // known byte check: 'A' = 0xC1 in cp037
+    assert(MainframeNum.stringToEbcdic("A")(0) == 0xc1.toByte)
+    assert(MainframeNum.stringToEbcdic("0")(0) == 0xf0.toByte)
+  }
+
+  // -- round-trip properties ----------------------------------------------
+
+  test("packed decimal encode/decode round-trip") {
+    forAllG2(Gen.chooseNum(-99999999999L, 99999999999L), Gen.chooseNum(0, 4)) {
+      (v: Long, scale: Int) =>
+        val bd = JBigDecimal.valueOf(v, scale)
+        val enc = MainframeNum.encodePacked(bd, 11)
+        assert(enc.length == MainframeNum.packedStorageBytes(11))
+        assert(MainframeNum.decodePacked(enc, scale).compareTo(bd) == 0)
+    }
+  }
+
+  test("zoned decimal encode/decode round-trip") {
+    forAllG2(Gen.chooseNum(-999999L, 999999L), Gen.chooseNum(0, 3)) {
+      (v: Long, scale: Int) =>
+        val bd = JBigDecimal.valueOf(v, scale)
+        val enc = MainframeNum.encodeZoned(bd, 7)
+        assert(enc.length == 7)
+        assert(MainframeNum.decodeZoned(enc, scale).compareTo(bd) == 0)
+    }
+  }
+
+  test("binary encode/decode round-trip at widths 2/4/8") {
+    forAllG(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (v: Long) =>
+      assert(MainframeNum.decodeBinaryLong(MainframeNum.encodeBinary(v, 8)) == v)
+      val s = v.toShort
+      assert(MainframeNum.decodeBinaryLong(MainframeNum.encodeBinary(s.toLong, 2)) == s.toLong)
+      val i = v.toInt
+      assert(MainframeNum.decodeBinaryLong(MainframeNum.encodeBinary(i.toLong, 4)) == i.toLong)
+    }
+  }
+
+  // -- record codec ---------------------------------------------------------
+
+  private val genEvent: Gen[ChangeEvent] = for {
+    op <- Gen.oneOf("I", "U", "D")
+    seq <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    urlN <- Gen.chooseNum(0, 5000)
+    tsMillis <- Gen.chooseNum(0L, 4102444800000L) // ≤ 2100
+    micros <- Gen.chooseNum(0, 999)
+    lang <- Gen.oneOf("en", "de", "zh", "")
+    sv <- Gen.oneOf(1, 2)
+    textOpt <- Gen.option(Gen.asciiPrintableStr.map(_ + "§·漢字"))
+    htmlOpt <- Gen.option(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    fs <- Gen.chooseNum(0L, 999L)
+    cl <- Gen.chooseNum(0L, 99999999999L)
+  } yield {
+    val ts = RecordCodec.microsToTimestamp(tsMillis * 1000L + micros)
+    val extra = if (sv >= 2) Map("fetch_status" -> fs.toString, "content_len" -> cl.toString)
+                else Map.empty[String, String]
+    val del = op == "D"
+    ChangeEvent(op, seq, s"https://d${urlN % 7}.example.com/p/$urlN", ts,
+      if (del) null else htmlOpt.orNull,
+      if (del) null else textOpt.orNull,
+      lang, sv, extra)
+  }
+
+  test("ChangeEvent binary record round-trip (header + EBCDIC + zoned + packed)") {
+    forAllG(genEvent) { e =>
+      val d = RecordCodec.decode(RecordCodec.encode(e))
+      assert(d.op == e.op)
+      assert(d.seq == e.seq)
+      assert(d.url == e.url)
+      assert(d.warcTs == e.warcTs)
+      assert(d.lang == e.lang.trim)
+      assert(d.schemaVersion == e.schemaVersion)
+      assert(Option(d.text) == Option(e.text), "text must round-trip byte-identically")
+      if (e.text != null)
+        assert(java.util.Arrays.equals(d.text.getBytes("UTF-8"), e.text.getBytes("UTF-8")))
+      assert((d.html == null) == (e.html == null))
+      if (e.html != null) assert(java.util.Arrays.equals(d.html, e.html))
+      assert(d.extra == e.extra)
+    }
+  }
+
+  test("segment framing round-trips a stream of records") {
+    val evs = (0 until 100).map { i =>
+      ChangeEvent("U", i.toLong, s"https://x.example.com/$i",
+        new Timestamp(1577836800000L + i), Array[Byte](1, 2, 3), s"t$i", "en", 1, Map.empty)
+    }
+    val seg = RecordCodec.frameSegment(evs.iterator.map(RecordCodec.encode))
+    val back = RecordCodec.decodeSegment(seg).toSeq
+    assert(back.map(_.seq) == evs.map(_.seq))
+    assert(back.map(_.url) == evs.map(_.url))
+    assert(back.map(_.text) == evs.map(_.text))
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.feed.{FeedGen, FeedSpec}
+import graft.ingest.CdcIngest
+import graft.ingest.CdcIngest.IngestConfig
+import graft.lake.LakeTable
+import graft.model.ChangeEvent
+
+/** End-to-end replay correctness vs the serial oracle (SURVEY.md §5 item 2),
+  * exactly-once (item 3) and schema evolution (item 4). */
+class IngestSpec extends SparkTestBase {
+
+  private def mkTable(buckets: Int = 8): LakeTable =
+    LakeTable.create(tmpDir("laketbl"), CdcIngest.PagesSchemaV1, buckets)
+
+  private def mkFeed(spec: FeedSpec): String = {
+    val dir = tmpDir("feed")
+    FeedGen.writeSegments(spec, dir)
+    dir
+  }
+
+  /** Assert engine final state == serial oracle, row-for-row, with the
+    * byte-identical-text invariant (full-outer-join classification per
+    * data_validator.py:292-337 replaced by exceptAll both ways). */
+  private def assertMatchesOracle(table: LakeTable, spec: FeedSpec): Unit = {
+    import spark.implicits._
+    val expected = FeedGen.expectedState(FeedGen.events(spec))
+    val exp = expected.values.toSeq
+      .map(e => (e.url, e.warcTs, e.html, e.text, e.lang))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val got = table.read(spark).select("url", "warc_ts", "html", "text", "lang")
+    assert(got.count() == expected.size, "live row count mismatch")
+    assert(got.exceptAll(exp).isEmpty, "engine rows not in oracle")
+    assert(exp.exceptAll(got).isEmpty, "oracle rows not in engine")
+    // byte-identical text invariant, checked on UTF-8 bytes explicitly
+    val gotBytes = got.select(col("url"), encode(col("text"), "UTF-8").as("tb"))
+      .as[(String, Array[Byte])].collect().toMap
+    expected.foreach { case (url, e) =>
+      assert(java.util.Arrays.equals(gotBytes(url),
+        if (e.text == null) null else e.text.getBytes("UTF-8")),
+        s"text bytes differ for $url")
+    }
+  }
+
+  test("e2e: replay matches serial oracle (dups, deletes, late, skew)") {
+    val spec = FeedSpec(seed = 7L, numEvents = 6000, numUrls = 500,
+      eventsPerSegment = 500, hotDomainWeight = 0.6)
+    val table = mkTable()
+    val feed = mkFeed(spec)
+    val snaps = CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 3))
+    assert(snaps.size == 4) // 12 segments / 3 per batch
+    assertMatchesOracle(table, spec)
+  }
+
+  test("e2e: batch size does not change the result (1 seg/batch vs all-at-once)") {
+    val spec = FeedSpec(seed = 11L, numEvents = 3000, numUrls = 300, eventsPerSegment = 300)
+    val t1 = mkTable(); val t2 = mkTable()
+    val feed = mkFeed(spec)
+    CdcIngest.run(spark, t1, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 1))
+    CdcIngest.run(spark, t2, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 100))
+    val a = t1.read(spark); val b = t2.read(spark)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assertMatchesOracle(t1, spec)
+  }
+
+  test("exactly-once: re-running ingest after completion is a no-op") {
+    val spec = FeedSpec(seed = 3L, numEvents = 1000, numUrls = 100, eventsPerSegment = 250)
+    val table = mkTable()
+    val feed = mkFeed(spec)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    val v1 = table.currentSnapshot().version
+    val again = CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    assert(again.isEmpty, "no pending segments → no new snapshots")
+    assert(table.currentSnapshot().version == v1)
+    assertMatchesOracle(table, spec)
+  }
+
+  test("exactly-once: crash between data write and commit, then resume") {
+    val spec = FeedSpec(seed = 5L, numEvents = 2000, numUrls = 200, eventsPerSegment = 500)
+    val table = mkTable()
+    val feed = mkFeed(spec)
+    val segs = CdcIngest.listSegments(feed)
+    val cfg = IngestConfig(numBuckets = 8, segmentsPerBatch = 2)
+    CdcIngest.applyBatch(spark, table, segs.take(2), cfg)
+    val committedV = table.currentSnapshot().version
+    // crash mid-batch 2: data files written, snapshot NOT committed
+    intercept[CdcIngest.CrashInjected] {
+      CdcIngest.applyBatch(spark, table, segs.slice(2, 4), cfg, crashBeforeCommit = true)
+    }
+    assert(table.currentSnapshot().version == committedV, "torn batch must be invisible")
+    assert(table.orphanFiles().nonEmpty, "crash leaves orphan data files only")
+    // resume from checkpoint — run() picks up from the watermark
+    CdcIngest.run(spark, table, feed, cfg)
+    assertMatchesOracle(table, spec)
+  }
+
+  test("schema evolution: v2 columns appear mid-stream, old rows null-filled") {
+    import spark.implicits._
+    val spec = FeedSpec(seed = 13L, numEvents = 2000, numUrls = 400,
+      eventsPerSegment = 500, evolveAtEvent = 1000, deleteRatio = 0.0, lateRatio = 0.0)
+    val table = mkTable()
+    val feed = mkFeed(spec)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 1))
+    val snap = table.currentSnapshot()
+    assert(snap.schema.fieldNames.toSet ==
+      Set("url", "warc_ts", "html", "text", "lang", "fetch_status", "content_len"))
+    val df = table.read(spark)
+    val expected = FeedGen.expectedState(FeedGen.events(spec))
+    // winners from the v1 era → null evolved cols; v2 era → exact values
+    val gotExtra = df.select($"url", $"fetch_status".cast("string"), $"content_len".cast("string"))
+      .as[(String, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    expected.foreach { case (url, e) =>
+      val (fs, cl) = gotExtra(url)
+      if (e.schemaVersion >= 2) {
+        assert(fs == e.extra("fetch_status"), s"fetch_status for $url")
+        assert(cl == e.extra("content_len"), s"content_len for $url")
+      } else {
+        assert(fs == null && cl == null, s"v1-era row for $url must have null evolved cols")
+      }
+    }
+    assertMatchesOracle(table, spec)
+  }
+
+  test("bucket pruning: untouched buckets' files are carried, not rewritten") {
+    val spec = FeedSpec(seed = 17L, numEvents = 2000, numUrls = 500, eventsPerSegment = 1000)
+    val table = mkTable(buckets = 16)
+    val feed = mkFeed(spec)
+    val segs = CdcIngest.listSegments(feed)
+    val cfg = IngestConfig(numBuckets = 16, segmentsPerBatch = 1)
+    CdcIngest.applyBatch(spark, table, Seq(segs.head), cfg)
+    val snap1 = table.currentSnapshot()
+    val digest1 = snap1.files.map(f => f.path ->
+      java.util.Arrays.hashCode(Files.readAllBytes(table.root.resolve(f.path)))).toMap
+    // second batch touches a subset of buckets (same urls universe, so most
+    // buckets are touched — craft a tiny targeted batch instead)
+    val one = ChangeEvent("U", 999999L, FeedGen.urlOf(spec, 0),
+      graft.codec.RecordCodec.microsToTimestamp(FeedGen.BaseEpochMillis * 1000L + 1L),
+      Array[Byte](1), "tiny", "en", 1, Map.empty)
+    val tinyDir = tmpDir("tinyseg")
+    Files.write(Paths.get(tinyDir, "segment-000001.bin"),
+      graft.codec.RecordCodec.frameSegment(Iterator(graft.codec.RecordCodec.encode(one))))
+    CdcIngest.applyBatch(spark, table, Seq(1L -> s"$tinyDir/segment-000001.bin"), cfg)
+    val snap2 = table.currentSnapshot()
+    val touchedBucket = (0 until 16).find { b =>
+      snap2.files.filter(_.bucket == b).map(_.path) != snap1.files.filter(_.bucket == b).map(_.path)
+    }
+    assert(touchedBucket.isDefined, "exactly one bucket should change")
+    val untouched = snap2.files.filterNot(_.bucket == touchedBucket.get)
+    untouched.foreach { f =>
+      assert(digest1.contains(f.path), s"untouched file ${f.path} must be carried by reference")
+      assert(digest1(f.path) ==
+        java.util.Arrays.hashCode(Files.readAllBytes(table.root.resolve(f.path))),
+        s"untouched file ${f.path} must be byte-identical")
+    }
+    assert(snap2.metrics("touchedBuckets") == 1L, "only one bucket touched")
+  }
+
+  test("extreme skew: 99% of events on one domain still dedups correctly") {
+    val spec = FeedSpec(seed = 23L, numEvents = 4000, numUrls = 200,
+      hotDomainWeight = 0.99, eventsPerSegment = 1000)
+    val table = mkTable()
+    CdcIngest.run(spark, table, mkFeed(spec), IngestConfig(numBuckets = 8, saltBuckets = 8))
+    assertMatchesOracle(table, spec)
+  }
+
+  test("lineage + metrics metadata tables are populated and consistent") {
+    val spec = FeedSpec(seed = 29L, numEvents = 2000, numUrls = 300, eventsPerSegment = 500)
+    val table = mkTable()
+    CdcIngest.run(spark, table, mkFeed(spec), IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    val lin = table.lineage(spark)
+    val met = table.metrics(spark)
+    assert(lin.count() > 0)
+    assert(met.filter(col("batch_id") =!= "create")
+      .agg(sum("events")).head.getLong(0) == spec.numEvents)
+    // per-bucket lineage rows of the final snapshot sum to the table's raw row count
+    val lastV = table.currentSnapshot().version
+    val linLast = lin.filter(col("snapshot_version") === lastV)
+    assert(linLast.count() > 0)
+    // watermark resumability: metrics' last watermark == #segments - 1
+    val wm = met.agg(max("watermark_segment")).head.getLong(0)
+    assert(wm == (spec.numEvents / spec.eventsPerSegment) - 1)
+  }
+}
