@@ -58,9 +58,9 @@ object RecordCodec {
     writeLenPrefixed(out, if (e.text == null) null else e.text.getBytes("UTF-8"))
     writeLenPrefixed(out, e.html)
     if (e.schemaVersion >= SchemaV2) {
-      val fs = e.extra.getOrElse("fetch_status", "0").toLong
+      val fs = e.fetch_status.getOrElse(0).toLong
       out.write(MainframeNum.encodeZoned(java.math.BigDecimal.valueOf(fs), 3))
-      val cl = e.extra.getOrElse("content_len", "0").toLong
+      val cl = e.content_len.getOrElse(0L)
       out.write(MainframeNum.encodePacked(java.math.BigDecimal.valueOf(cl), 11))
     }
     out.flush()
@@ -71,8 +71,13 @@ object RecordCodec {
     if (bytes == null) out.writeInt(-1)
     else { out.writeInt(bytes.length); out.write(bytes) }
 
-  def decode(bytes: Array[Byte]): ChangeEvent = {
+  def decode(bytes: Array[Byte]): ChangeEvent = decodeAt(bytes, 0)
+
+  /** Decode a record at an absolute offset inside a larger buffer
+    * (zero-copy segment walking). */
+  def decodeAt(bytes: Array[Byte], recOff: Int): ChangeEvent = {
     val buf = ByteBuffer.wrap(bytes) // big-endian by default
+    buf.position(recOff)
     val schemaVersion = buf.get().toInt
     require(schemaVersion == SchemaV1 || schemaVersion == SchemaV2,
       s"unsupported schema version $schemaVersion")
@@ -87,15 +92,81 @@ object RecordCodec {
     val lang = MainframeNum.ebcdicToString(langBytes).trim
     val text = readLenPrefixed(buf).map(new String(_, "UTF-8")).orNull
     val html = readLenPrefixed(buf).orNull
-    val extra: Map[String, String] =
+    val (fetchStatus, contentLen) =
       if (schemaVersion >= SchemaV2) {
         val zoned = new Array[Byte](3); buf.get(zoned)
-        val fetchStatus = MainframeNum.decodeZoned(zoned, 0).longValueExact()
+        val fs = MainframeNum.decodeZoned(zoned, 0).intValueExact()
         val packed = new Array[Byte](MainframeNum.packedStorageBytes(11)); buf.get(packed)
-        val contentLen = MainframeNum.decodePacked(packed, 0).longValueExact()
-        Map("fetch_status" -> fetchStatus.toString, "content_len" -> contentLen.toString)
-      } else Map.empty
-    ChangeEvent(op, seq, url, ts, html, text, lang, schemaVersion, extra)
+        val cl = MainframeNum.decodePacked(packed, 0).longValueExact()
+        (Some(fs), Some(cl))
+      } else (None, None)
+    ChangeEvent(op, seq, url, ts, html, text, lang, schemaVersion, fetchStatus, contentLen)
+  }
+
+  /** Key-only peek: (schemaVersion, op, seq, tsMicros, url) without
+    * materializing text/html — the dedup pass runs on this plus the raw
+    * record bytes ("late materialization": only LWW winners get a full
+    * decode, losers never allocate their payloads). */
+  /** Record start/length offsets inside a framed segment — zero-copy walk
+    * (the record slice is only materialized for rows that survive
+    * filtering; the key pass never copies payloads at all). */
+  def segmentOffsets(segment: Array[Byte]): Iterator[(Int, Int)] = {
+    val buf = ByteBuffer.wrap(segment)
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(java.util.Arrays.equals(magic, SegmentMagic), "bad segment magic")
+    buf.getInt() match {
+      case 1 => ()
+      case 2 => buf.get()
+      case v => throw new IllegalArgumentException(s"bad segment version $v")
+    }
+    new Iterator[(Int, Int)] {
+      def hasNext: Boolean = buf.remaining() > 4
+      def next(): (Int, Int) = {
+        val len = buf.getInt()
+        val off = buf.position()
+        buf.position(off + len)
+        (off, len)
+      }
+    }
+  }
+
+  /** seq field at absolute position (record offset + 2) — big-endian. */
+  def seqAt(segment: Array[Byte], recOff: Int): Long =
+    ByteBuffer.wrap(segment, recOff + 2, 8).getLong
+
+  /** Key peek at an absolute record offset: (seq, tsMicros, urlBytes). */
+  def peekKeyBytesAt(segment: Array[Byte], recOff: Int): (Long, Long, Array[Byte]) = {
+    val buf = ByteBuffer.wrap(segment)
+    buf.position(recOff + 2) // skip schemaVersion + op
+    val seq = buf.getLong()
+    val tsMicros = buf.getLong()
+    val urlLen = buf.getShort() & 0xffff
+    val urlBytes = new Array[Byte](urlLen); buf.get(urlBytes)
+    (seq, tsMicros, urlBytes)
+  }
+
+  /** Narrower peek for the key-dedup pass: (seq, tsMicros, EBCDIC url
+    * bytes — grouping on raw key bytes skips the charset decode for rows
+    * that will lose LWW anyway). */
+  def peekKeyBytes(bytes: Array[Byte]): (Long, Long, Array[Byte]) = {
+    val buf = ByteBuffer.wrap(bytes)
+    buf.get(); buf.get() // schemaVersion, op
+    val seq = buf.getLong()
+    val tsMicros = buf.getLong()
+    val urlLen = buf.getShort() & 0xffff
+    val urlBytes = new Array[Byte](urlLen); buf.get(urlBytes)
+    (seq, tsMicros, urlBytes)
+  }
+
+  def peekKey(bytes: Array[Byte]): (Int, String, Long, Long, String) = {
+    val buf = ByteBuffer.wrap(bytes)
+    val sv = buf.get().toInt
+    val op = buf.get().toChar.toString
+    val seq = buf.getLong()
+    val tsMicros = buf.getLong()
+    val urlLen = buf.getShort() & 0xffff
+    val urlBytes = new Array[Byte](urlLen); buf.get(urlBytes)
+    (sv, op, seq, tsMicros, MainframeNum.ebcdicToString(urlBytes))
   }
 
   private def readLenPrefixed(buf: ByteBuffer): Option[Array[Byte]] = {
@@ -117,14 +188,34 @@ object RecordCodec {
 
   val SegmentMagic: Array[Byte] = "GWAL".getBytes("US-ASCII")
 
-  def frameSegment(records: Iterator[Array[Byte]]): Array[Byte] = {
+  /** Segment header: magic + int32 format version + (format>=2) one byte
+    * carrying the max record schema version inside — a driver-readable hint
+    * so schema-evolution decisions never need a Spark job over the data. */
+  def frameSegment(records: Iterator[Array[Byte]], maxSchemaVersion: Int = SchemaV1): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.write(SegmentMagic)
-    out.writeInt(1)
+    out.writeInt(2)
+    out.writeByte(maxSchemaVersion)
     records.foreach { r => out.writeInt(r.length); out.write(r) }
     out.flush()
     bos.toByteArray
+  }
+
+  val SegmentHeaderLen: Int = 9 // magic(4) + version(4) + maxSchemaVersion(1)
+
+  /** Read the max-schema-version hint from the first header bytes of a
+    * segment file; None for format-1 segments (no hint). */
+  def segmentSchemaHint(header: Array[Byte]): Option[Int] = {
+    require(header.length >= 8, "header too short")
+    val buf = ByteBuffer.wrap(header)
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(java.util.Arrays.equals(magic, SegmentMagic), "bad segment magic")
+    buf.getInt() match {
+      case 1          => None
+      case 2          => Some(buf.get().toInt)
+      case v          => throw new IllegalArgumentException(s"bad segment version $v")
+    }
   }
 
   /** Iterate raw records of a framed segment (lazy, no copy of the whole). */
@@ -132,8 +223,11 @@ object RecordCodec {
     val buf = ByteBuffer.wrap(segment)
     val magic = new Array[Byte](4); buf.get(magic)
     require(java.util.Arrays.equals(magic, SegmentMagic), "bad segment magic")
-    val ver = buf.getInt()
-    require(ver == 1, s"bad segment version $ver")
+    buf.getInt() match {
+      case 1 => ()
+      case 2 => buf.get() // skip the schema hint byte
+      case v => throw new IllegalArgumentException(s"bad segment version $v")
+    }
     new Iterator[Array[Byte]] {
       def hasNext: Boolean = buf.remaining() > 4
       def next(): Array[Byte] = {

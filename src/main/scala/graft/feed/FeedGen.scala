@@ -1,7 +1,6 @@
 package graft.feed
 
 import java.nio.file.{Files, Path, Paths}
-import java.security.MessageDigest
 import java.sql.Timestamp
 import java.util.Random
 
@@ -41,9 +40,24 @@ object FeedGen {
 
   private val Langs = Array("en", "de", "fr", "es", "zh", "ru", "pt", "ja")
 
-  private def md5hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
+  /** cheap deterministic 128-bit-ish hex digest (splitmix64 x2) — md5 was
+    * the feed-generation bottleneck at benchmark sizes; content only needs
+    * to be deterministic, not cryptographic. */
+  private def fastHex(s: String): String = {
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    var h1 = 0x811c9dc5L; var h2 = 0x2545f4914f6cdd1dL
+    var i = 0
+    while (i < s.length) {
+      h1 = mix(h1 ^ s.charAt(i).toLong)
+      h2 = mix(h2 + s.charAt(i).toLong * 0x100000001b3L)
+      i += 1
+    }
+    f"$h1%016x$h2%016x"
   }
 
   /** Deterministic url universe: hot domain gets a large share of urls'
@@ -65,10 +79,10 @@ object FeedGen {
     * (url, warc_ts), which is what makes the byte-identical-text-per-version
     * invariant checkable end-to-end. Includes multi-byte UTF-8. */
   def textOf(url: String, tsMicros: Long, lang: String): String =
-    s"§${md5hex(s"$url|$tsMicros")}·${lang}·len=${(tsMicros % 977).toInt}"
+    s"§${fastHex(s"$url|$tsMicros")}·${lang}·len=${(tsMicros % 977).toInt}"
 
   def htmlOf(url: String, tsMicros: Long): Array[Byte] = {
-    val h = md5hex(s"html|$url|$tsMicros")
+    val h = fastHex(s"html|$url|$tsMicros")
     s"<html><body>$h</body></html>".getBytes("UTF-8")
   }
 
@@ -106,19 +120,18 @@ object FeedGen {
         val schemaVersion =
           if (spec.evolveAtEvent >= 0 && k >= spec.evolveAtEvent) RecordCodec.SchemaV2
           else RecordCodec.SchemaV1
-        val extra =
+        val (fs, cl) =
           if (schemaVersion >= RecordCodec.SchemaV2)
-            Map(
-              "fetch_status" -> (if (rng.nextDouble() < 0.9) "200" else "404"),
-              "content_len" -> (100 + rng.nextInt(100000)).toString)
-          else Map.empty[String, String]
+            (Some(if (rng.nextDouble() < 0.9) 200 else 404),
+              Some((100 + rng.nextInt(100000)).toLong))
+          else (None, None)
         val ev =
           if (isDelete)
-            ChangeEvent(op, k.toLong, url, ts, null, null, lang, schemaVersion, extra)
+            ChangeEvent(op, k.toLong, url, ts, null, null, lang, schemaVersion, fs, cl)
           else
             ChangeEvent(op, k.toLong, url, ts,
               htmlOf(url, tsMicros), textOf(url, tsMicros, lang), lang,
-              schemaVersion, extra)
+              schemaVersion, fs, cl)
         lastEvent = ev
         k += 1
         ev
@@ -134,7 +147,8 @@ object FeedGen {
     val out = Vector.newBuilder[Path]
     events(spec).grouped(spec.eventsPerSegment).zipWithIndex.foreach {
       case (chunk, segId) =>
-        val bytes = RecordCodec.frameSegment(chunk.iterator.map(RecordCodec.encode))
+        val maxSv = chunk.iterator.map(_.schemaVersion).max
+        val bytes = RecordCodec.frameSegment(chunk.iterator.map(RecordCodec.encode), maxSv)
         val p = d.resolve(f"segment-$segId%06d.bin")
         Files.write(p, bytes)
         out += p

@@ -67,9 +67,32 @@ object CdcIngest {
 
   def decodeSegments(spark: SparkSession, segmentPaths: Seq[String]): Dataset[ChangeEvent] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(segmentPaths: _*)
-      .select("content").as[Array[Byte]]
-      .flatMap(bytes => RecordCodec.decodeSegment(bytes))
+    // NOT spark.read.format("binaryFile"): that source packs small segment
+    // files into 128MB partitions (spark.sql.files.maxPartitionBytes), which
+    // serializes decode for typical WAL segment sizes and destroys scaling.
+    // Instead distribute the path list — one task per segment (capped) —
+    // and read through the Hadoop FS API so any Spark-supported filesystem
+    // works. Decode parallelism = #segments in the batch.
+    val parallelism = math.min(segmentPaths.size,
+      spark.sparkContext.defaultParallelism * 4)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    spark.createDataset(segmentPaths)
+      .repartition(math.max(parallelism, 1))
+      .flatMap { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(confBc.value.value)
+        val in = fs.open(path)
+        val bytes =
+          try {
+            val len = fs.getFileStatus(path).getLen.toInt
+            val buf = new Array[Byte](len)
+            in.readFully(0, buf)
+            buf
+          } finally in.close()
+        RecordCodec.decodeSegment(bytes)
+      }
   }
 
   /** Decoded events as a DataFrame with lake column names. */
@@ -77,6 +100,276 @@ object CdcIngest {
     decodeSegments(spark, segmentPaths).toDF()
       .withColumnRenamed("warcTs", "warc_ts")
       .withColumnRenamed("schemaVersion", "schema_version")
+
+  /** Key fields + the raw record ("late materialization" row — see
+    * RecordCodec.peekKey). Shuffling this instead of the fully decoded
+    * event roughly halves per-row bytes and cuts decode allocations ~10x
+    * for typical update-heavy feeds (losers are never materialized). */
+  final case class RawEvent(url: String, seq: Long, ts_micros: Long,
+      op: String, sv: Int, rec: Array[Byte])
+
+  /** Winner row after full decode, with the fold count carried through. */
+  private final case class FullWinner(
+      op: String, seq: Long, url: String, warc_ts: java.sql.Timestamp,
+      html: Array[Byte], text: String, lang: String, schema_version: Int,
+      fetch_status: Option[Int], content_len: Option[Long], _n: Long)
+
+  def decodeRaw(spark: SparkSession, segmentPaths: Seq[String]): Dataset[RawEvent] = {
+    import spark.implicits._
+    val parallelism = math.min(segmentPaths.size,
+      spark.sparkContext.defaultParallelism * 4)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    spark.createDataset(segmentPaths)
+      .repartition(math.max(parallelism, 1))
+      .flatMap { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(confBc.value.value)
+        val in = fs.open(path)
+        val bytes =
+          try {
+            val len = fs.getFileStatus(path).getLen.toInt
+            val buf = new Array[Byte](len)
+            in.readFully(0, buf)
+            buf
+          } finally in.close()
+        RecordCodec.readSegment(bytes).map { rec =>
+          val (sv, op, seq, ts, url) = RecordCodec.peekKey(rec)
+          RawEvent(url, seq, ts, op, sv, rec)
+        }
+      }
+  }
+
+  /** Read segments and emit (seq, tsMicros, urlBytes) key rows only. */
+  private def decodeKeys(spark: SparkSession, segmentPaths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val parallelism = math.max(1, math.min(segmentPaths.size,
+      spark.sparkContext.defaultParallelism * 4))
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    spark.createDataset(segmentPaths)
+      .repartition(parallelism)
+      .flatMap { p =>
+        val bytes = readFile(p, confBc.value.value)
+        RecordCodec.segmentOffsets(bytes).map { case (off, _) =>
+          RecordCodec.peekKeyBytesAt(bytes, off)
+        }
+      }
+      .toDF("seq", "ts_micros", "urlb")
+  }
+
+  private def readFile(p: String, conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    try {
+      val len = fs.getFileStatus(path).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
+  /** Minimal open-addressing long set (no boxing, no per-entry objects) —
+    * broadcast to executors as the winner-seq filter. */
+  final class LongSet(capacityHint: Int) extends Serializable {
+    private val cap = Integer.highestOneBit(math.max(16, capacityHint * 2) - 1) * 2
+    private val mask = cap - 1
+    private val slots = new Array[Long](cap)
+    private val used = new Array[Boolean](cap)
+    def add(v: Long): Unit = {
+      var i = (java.lang.Long.hashCode(v) * 0x9e3779b9) & mask
+      while (used(i) && slots(i) != v) i = (i + 1) & mask
+      slots(i) = v; used(i) = true
+    }
+    def contains(v: Long): Boolean = {
+      var i = (java.lang.Long.hashCode(v) * 0x9e3779b9) & mask
+      while (used(i)) { if (slots(i) == v) return true; i = (i + 1) & mask }
+      false
+    }
+  }
+
+  /** Fastest bulk dedup: LWW winners are decided on a key-only pass, the
+    * winner seq-set (one entry per url in the batch) is collected to the
+    * driver and broadcast, and the payload pass filters records by seq
+    * BEFORE copying or decoding them — losers never materialize anywhere.
+    * Falls back to [[dedupViaKeys]] (broadcast-join form) when the winner
+    * set exceeds `maxCollectedKeys` (driver-memory guard for huge batches).
+    * Returns (winners df, Some((events, minSeq, maxSeq))) — batch totals
+    * come from the key pass here. */
+  def dedupViaKeyBroadcast(
+      spark: SparkSession,
+      segmentPaths: Seq[String],
+      salt: Int,
+      urlPartitions: Int,
+      maxCollectedKeys: Int = 20000000): (DataFrame, Option[(Long, Long, Long)]) = {
+    import spark.implicits._
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+    var tM = System.nanoTime()
+    def mk(ph: String): Unit = if (trace) {
+      val now = System.nanoTime()
+      System.err.println(f"[trace]   $ph%-16s ${(now - tM) / 1e9}%7.3f s")
+      tM = now
+    }
+    val keys = decodeKeys(spark, segmentPaths)
+    val ord = struct(col("ts_micros"), col("seq"))
+    val phase1 = keys
+      .withColumn("_salt", pmod(col("seq"), lit(salt.toLong)))
+      .groupBy(col("urlb"), col("_salt"))
+      .agg(max_by(struct(col("ts_micros"), col("seq")), ord).as("_w"),
+        count(lit(1)).as("_n"),
+        min(col("seq")).as("_mn"), max(col("seq")).as("_mx"))
+    val winnerKeys = phase1
+      .groupBy(col("urlb"))
+      .agg(max_by(col("_w"), col("_w")).as("_w"), sum(col("_n")).as("_n"),
+        min(col("_mn")).as("_mn"), max(col("_mx")).as("_mx"))
+      .select(col("_w.seq").as("wseq"), col("_n"), col("_mn"), col("_mx"))
+    // Upper-bound the winner count from segment bytes BEFORE running the
+    // job (records are >= 40 bytes) — `head(hugeN)` is NOT usable as the
+    // guard: a global limit funnels the result through one partition and
+    // serializes the whole key pass. A plain collect() stays parallel.
+    val conf0 = spark.sessionState.newHadoopConf()
+    val estMaxEvents = segmentPaths.map { p =>
+      new org.apache.hadoop.fs.Path(p).getFileSystem(conf0)
+        .getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
+    }.sum / 40L
+    locally {
+      if (estMaxEvents > maxCollectedKeys) {
+        (dedupViaKeys(spark, segmentPaths, salt, urlPartitions), None)
+      } else {
+        val rows = winnerKeys.as[(Long, Long, Long, Long)].collect()
+        mk("keyjob+collect")
+        var ev = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        val set = new LongSet(rows.length)
+        rows.foreach { case (wseq, n, rmn, rmx) =>
+          set.add(wseq); ev += n
+          if (rmn < mn) mn = rmn
+          if (rmx > mx) mx = rmx
+        }
+        val totals = (ev, mn, mx)
+        val setBc = spark.sparkContext.broadcast(set)
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        val parallelism = math.max(1, math.min(segmentPaths.size,
+          spark.sparkContext.defaultParallelism * 4))
+        val decoded = spark.createDataset(segmentPaths)
+          .repartition(parallelism)
+          .flatMap { p =>
+            val bytes = readFile(p, confBc.value.value)
+            val filter = setBc.value
+            RecordCodec.segmentOffsets(bytes).flatMap { case (off, _) =>
+              // zero-copy: test the seq in place; only winners are decoded
+              if (!filter.contains(RecordCodec.seqAt(bytes, off))) None
+              else {
+                val e = RecordCodec.decodeAt(bytes, off)
+                Some(FullWinner(e.op, e.seq, e.url, e.warcTs, e.html, e.text,
+                  e.lang, e.schemaVersion, e.fetch_status, e.content_len, 1L))
+              }
+            }
+          }.toDF()
+        val payloadCols = decoded.columns.filterNot(c => c == "_n" || c == "url")
+        val payload = struct(payloadCols.map(col).toSeq: _*)
+        val winners = decoded
+          .repartition(urlPartitions, col("url"))
+          .groupBy(col("url"))
+          .agg(max_by(payload, struct(col("warc_ts"), col("seq"))).as("_w"),
+            max(col("_n")).as("_n"))
+          .select(col("url") +: payloadCols.map(c => col(s"_w.$c").as(c)) :+ col("_n"): _*)
+        mk("plan-winners")
+        (winners, Some(totals))
+      }
+    }
+  }
+
+  /** Shuffle-light LWW dedup for bulk batches:
+    *  1. key pass — only (urlBytes, seq, ts) rows go through the salted
+    *     two-phase max_by; the heavy payloads never enter this shuffle;
+    *  2. winner seqs (one per url; exact duplicates of the winning record
+    *     share its seq) broadcast back as a semi-join filter over a second
+    *     segment scan — loser payloads are dropped map-side and never
+    *     allocated beyond the raw record slice;
+    *  3. survivors get the full decode, one more (tiny) salted max_by per
+    *     url collapses at-least-once duplicates, repartitioned to the
+    *     bucket-aligned layout for the merge join.
+    * Output: full event columns + `_n`, HashPartitioning(url, urlPartitions). */
+  def dedupViaKeys(
+      spark: SparkSession,
+      segmentPaths: Seq[String],
+      salt: Int,
+      urlPartitions: Int): DataFrame = {
+    import spark.implicits._
+    val keys = decodeKeys(spark, segmentPaths)
+    val ord = struct(col("ts_micros"), col("seq"))
+    val phase1 = keys
+      .withColumn("_salt", pmod(col("seq"), lit(salt.toLong)))
+      .groupBy(col("urlb"), col("_salt"))
+      .agg(max_by(struct(col("ts_micros"), col("seq")), ord).as("_w"),
+        count(lit(1)).as("_n"))
+    val winnerSeqs = phase1
+      .groupBy(col("urlb"))
+      .agg(max_by(col("_w"), col("_w")).as("_w"), sum(col("_n")).as("_n"))
+      .select(col("_w.seq").as("wseq"), col("_n"))
+    val raw = decodeRaw(spark, segmentPaths)
+    val winners0 = raw.join(broadcast(winnerSeqs), col("seq") === col("wseq"))
+    // full decode of survivors FIRST (map-side, pre-shuffle), THEN the
+    // collapse of exact at-least-once duplicates (same url+seq) as a
+    // relational aggregation — agg output keeps HashPartitioning(url, n),
+    // so the downstream MERGE join inserts no exchange for this side.
+    val decoded = winners0.select(col("rec"), col("_n"))
+      .as[(Array[Byte], Long)].mapPartitions { it =>
+        it.map { case (rec, n) =>
+          val e = RecordCodec.decode(rec)
+          FullWinner(e.op, e.seq, e.url, e.warcTs, e.html, e.text, e.lang,
+            e.schemaVersion, e.fetch_status, e.content_len, n)
+        }
+      }.toDF()
+    val payloadCols = decoded.columns.filterNot(c => c == "_n" || c == "url")
+    val payload = struct(payloadCols.map(col).toSeq: _*)
+    decoded
+      .repartition(urlPartitions, col("url"))
+      .groupBy(col("url")) // keeping the group-key attribute preserves the
+      .agg(               // recognized HashPartitioning(url, urlPartitions)
+        max_by(payload, struct(col("warc_ts"), col("seq"))).as("_w"),
+        max(col("_n")).as("_n"))
+      .select(col("url") +: payloadCols.map(c => col(s"_w.$c").as(c)) :+ col("_n"): _*)
+  }
+
+  /** Two-phase salted LWW dedup over raw events + full decode of winners
+    * only. Output columns: the full lake event schema plus `_n` (events
+    * folded per winner). Output is HashPartitioning(url, urlPartitions) —
+    * aligned with the bucket layout, so the downstream MERGE join and the
+    * bucket-partitioned write need no further exchange of this side. */
+  def dedupRawAndDecode(
+      spark: SparkSession,
+      raw: Dataset[RawEvent],
+      salt: Int,
+      urlPartitions: Int): DataFrame = {
+    import spark.implicits._
+    val payload = struct(col("url"), col("seq"), col("ts_micros"), col("op"),
+      col("sv"), col("rec"))
+    val ord = struct(col("ts_micros"), col("seq"))
+    val phase1 = raw.toDF()
+      .withColumn("_salt", pmod(col("seq"), lit(salt.toLong)))
+      .groupBy(col("url"), col("_salt"))
+      .agg(max_by(payload, ord).as("_w"), count(lit(1)).as("_n"))
+    val winners = phase1
+      .repartition(urlPartitions, col("url"))
+      .groupBy(col("url"))
+      .agg(
+        max_by(col("_w"), struct(col("_w.ts_micros"), col("_w.seq"))).as("_w"),
+        sum(col("_n")).as("_n"))
+      .select(col("_w.rec").as("rec"), col("_n"))
+    winners.as[(Array[Byte], Long)].mapPartitions { it =>
+      it.map { case (rec, n) =>
+        val e = RecordCodec.decode(rec)
+        FullWinner(e.op, e.seq, e.url, e.warcTs, e.html, e.text, e.lang,
+          e.schemaVersion, e.fetch_status, e.content_len, n)
+      }
+    }.toDF()
+  }
 
   // -------------------------------------------------------------------
   // 2. salted two-phase LWW dedup
@@ -87,7 +380,7 @@ object CdcIngest {
     * Phase 1 salts by `pmod(seq, salt)` — the salt must split same-key rows,
     * so it derives from the event position, not the key; phase 2 sees at
     * most `salt` rows per url regardless of how hot the domain is. */
-  def lwwDedup(events: DataFrame, salt: Int): DataFrame = {
+  def lwwDedup(events: DataFrame, salt: Int, urlPartitions: Option[Int] = None): DataFrame = {
     val payload = struct(events.columns.map(col).toSeq: _*)
     val ord = struct(col("warc_ts"), col("seq"))
     val phase1 = events
@@ -97,7 +390,15 @@ object CdcIngest {
         max_by(payload, ord).as("_w"),
         count(lit(1)).as("_n"),
         max(col("schema_version")).as("_sv"))
-    phase1
+    // When the caller needs the output clustered for a downstream join,
+    // phase 2's exchange IS that clustering: repartition(n, url) satisfies
+    // the groupBy(url) distribution, so only ONE exchange happens here and
+    // none is needed later (HashPartitioning(url, n) == bucket layout).
+    val rep = urlPartitions match {
+      case Some(n) => phase1.repartition(n, col("url"))
+      case None    => phase1
+    }
+    rep
       .groupBy(col("url"))
       .agg(
         max_by(col("_w"), struct(col("_w.warc_ts"), col("_w.seq"))).as("_w"),
@@ -122,7 +423,15 @@ object CdcIngest {
       crashBeforeCommit: Boolean = false): Snapshot = {
     require(segments.nonEmpty, "empty batch")
     val t0 = System.nanoTime()
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+    var tMark = t0
+    def mark(phase: String): Unit = if (trace) {
+      val now = System.nanoTime()
+      System.err.println(f"[trace] $phase%-18s ${(now - tMark) / 1e9}%7.3f s")
+      tMark = now
+    }
     val snap = table.currentSnapshot()
+    mark("read-snapshot")
     val segFrom = segments.map(_._1).min
     val segTo = segments.map(_._1).max
     if (segTo <= snap.watermarkSegment) return snap // already applied
@@ -130,89 +439,173 @@ object CdcIngest {
       s"gap in WAL: table at segment ${snap.watermarkSegment}, batch starts at $segFrom")
     val batchId = s"seg$segFrom-$segTo"
     val numBuckets = snap.numBuckets
+    val hconf = spark.sessionState.newHadoopConf()
 
-    val raw = eventsDf(spark, segments.map(_._2))
-    // promote evolved columns unconditionally (null when absent) …
-    val promoted = RecordCodec.V2Columns.foldLeft(raw) { case (df, (name, typ)) =>
-      df.withColumn(name, element_at(col("extra"), name).cast(sparkTypeOf(typ)))
-    }.drop("extra")
+    // Driver-side segment header scan (a few bytes per segment): yields the
+    // schema-evolution decision with NO Spark job; format-1 segments have
+    // no hint → fall back to the pruned path, which derives it from data.
+    val hints = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(segments.map { case (_, p) => Future(segmentHint(p, hconf)) }),
+        Duration.Inf)
+    }
+    val batchBytes = hints.map(_._2).sum
+    val hintSv: Option[Int] =
+      if (hints.forall(_._1.nonEmpty)) Some(hints.flatMap(_._1).max) else None
 
-    val winners = lwwDedup(promoted, config.saltBuckets)
-      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(numBuckets))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // one small job: touched buckets + per-bucket lineage + schema decision
-      val stats = winners.groupBy(col(LakeTable.BucketCol)).agg(
-        count(lit(1)).as("winners"),
-        sum(when(col("op") === ChangeEvent.OpDelete, 1L).otherwise(0L)).as("deletes"),
-        sum(col("_n")).as("events"),
-        max(col("_sv")).as("maxSv"),
-        min(col("seq")).as("minSeq"),
-        max(col("seq")).as("maxSeq")).collect()
-      val touched = stats.map(_.getAs[Int](LakeTable.BucketCol)).toSet
-      val batchEvents = stats.map(_.getAs[Long]("events")).sum
-      val batchDeletes = stats.map(_.getAs[Long]("deletes")).sum
-      val batchWinners = stats.map(_.getAs[Long]("winners")).sum
-      val maxSv = if (stats.isEmpty) 1 else stats.map(_.getAs[Int]("maxSv")).max
+    // Adaptive merge strategy: a bulk batch (comparable in size to the
+    // table) touches ~every bucket — the pre-pass to find touched buckets
+    // costs more than it saves, so merge against the full table in ONE job
+    // with observe() stats. A trickle batch keeps the pruned two-job path.
+    mark("segment-hints")
+    val tableBytes = snap.files.map(_.sizeBytes).sum
+    val bulk = hintSv.nonEmpty &&
+      (snap.files.isEmpty || tableBytes == 0L || batchBytes * 4L >= tableBytes)
 
-      // … but only widen the table schema if the batch actually carries v2
-      val newSchema =
-        if (maxSv >= RecordCodec.SchemaV2 &&
-            !snap.schema.fieldNames.contains(RecordCodec.V2Columns.head._1))
-          StructType(snap.schema.fields ++ RecordCodec.V2Columns.map {
-            case (n, t) => StructField(n, sparkTypeOf(t), nullable = true)
-          })
-        else snap.schema
-      val dataCols = newSchema.fieldNames.toSeq
+    val raw = decodeRaw(spark, segments.map(_._2))
 
-      // target side: only files of touched buckets, read through the NEW schema
-      val physical = StructType(newSchema.fields ++ Array(
+    def evolvedSchema(maxSv: Int): StructType =
+      if (maxSv >= RecordCodec.SchemaV2 &&
+          !snap.schema.fieldNames.contains(RecordCodec.V2Columns.head._1))
+        StructType(snap.schema.fields ++ RecordCodec.V2Columns.map {
+          case (n, t) => StructField(n, sparkTypeOf(t), nullable = true)
+        })
+      else snap.schema
+
+    def physicalOf(schema: StructType): StructType =
+      StructType(schema.fields ++ Array(
         StructField(LakeTable.SeqCol, LongType), StructField(LakeTable.DeletedCol, BooleanType)))
-      val targetFiles = snap.files.filter(f => touched.contains(f.bucket))
-      val target =
-        if (targetFiles.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physical)
-        else spark.read.schema(physical)
-          .parquet(targetFiles.map(f => table.root.resolve(f.path).toString): _*)
 
-      val merged = mergeLww(winners.drop("_n", "_sv", LakeTable.BucketCol), target, dataCols)
+    def readTarget(files: Seq[DataFileEntry], physical: StructType): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physical)
+      else spark.read.schema(physical)
+        .parquet(files.map(f => table.root.resolve(f.path).toString): _*)
 
-      // cluster output by bucket: one shuffle, one file per touched bucket
+    /** write bucket-partitioned files; relies on merge inputs being
+      * repartition(numBuckets, url)-aligned so `_bucket == partition id`
+      * and NO post-join shuffle is needed. */
+    def writeMerged(merged: DataFrame, newVersion: Long): Seq[DataFileEntry] = {
       val tmpDir = table.root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
       merged
         .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(numBuckets))
-        .repartition(col(LakeTable.BucketCol))
         .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
         .parquet(tmpDir.toString)
+      mark("merge+write")
+      val files = moveDataFiles(spark, table, tmpDir, newVersion)
+      mark("move+footers")
+      files
+    }
 
-      val newVersion = snap.version + 1
-      val newFiles = moveDataFiles(spark, table, tmpDir, newVersion)
-      if (crashBeforeCommit) throw new CrashInjected
+    val newVersion = snap.version + 1
 
-      val carried = snap.files.filterNot(f => touched.contains(f.bucket))
-      val lineage = stats.toSeq.map { r =>
-        Map[String, Any](
-          "bucket" -> r.getAs[Int](LakeTable.BucketCol).toLong,
-          "rows" -> newFiles.filter(_.bucket == r.getAs[Int](LakeTable.BucketCol)).map(_.rows).sum,
-          "upserts" -> (r.getAs[Long]("winners") - r.getAs[Long]("deletes")),
-          "deletes" -> r.getAs[Long]("deletes"),
-          "minSeq" -> r.getAs[Long]("minSeq"),
-          "maxSeq" -> r.getAs[Long]("maxSeq"),
-          "segFrom" -> segFrom,
-          "segTo" -> segTo)
+    val (newSchema, newFiles, carried, lineageRows, statsMap) =
+      if (bulk) {
+        // ---- bulk path: single job, full-table merge, observe() stats ----
+        val schema = evolvedSchema(hintSv.get)
+        val dataCols = schema.fieldNames.toSeq
+        val obs = org.apache.spark.sql.Observation(s"ingest-$batchId")
+        val (winnersDf, keyTotals) = dedupViaKeyBroadcast(
+          spark, segments.map(_._2), config.saltBuckets, numBuckets)
+        val src = winnersDf
+          .observe(obs,
+            count(lit(1)).as("winners"),
+            sum(when(col("op") === ChangeEvent.OpDelete, 1L).otherwise(0L)).as("deletes"),
+            sum(col("_n")).as("events"),
+            min(col("seq")).as("minSeq"),
+            max(col("seq")).as("maxSeq"))
+          .drop("_n")
+        val tgt = readTarget(snap.files, physicalOf(schema))
+          .repartition(numBuckets, col("url"))
+        val files = writeMerged(mergeLww(src, tgt, dataCols), newVersion)
+        val m = obs.get
+        val (evTotal, mnSeq, mxSeq) = keyTotals.getOrElse(
+          (m("events").asInstanceOf[Long], m("minSeq").asInstanceOf[Long],
+            m("maxSeq").asInstanceOf[Long]))
+        val lineage = files.groupBy(_.bucket).toSeq.map { case (b, fs) =>
+          Map[String, Any]("bucket" -> b.toLong, "rows" -> fs.map(_.rows).sum,
+            "segFrom" -> segFrom, "segTo" -> segTo)
+        }
+        val stats = Map[String, Any](
+          "events" -> evTotal,
+          "upserts" -> (m("winners").asInstanceOf[Long] - m("deletes").asInstanceOf[Long]),
+          "deletes" -> m("deletes").asInstanceOf[Long],
+          "minSeq" -> mnSeq,
+          "maxSeq" -> mxSeq,
+          "touchedBuckets" -> files.map(_.bucket).distinct.size.toLong,
+          "strategy" -> "bulk")
+        (schema, files, Seq.empty[DataFileEntry], lineage, stats)
+      } else {
+        // ---- pruned path: pre-pass finds touched buckets, merge reads
+        // only their files; untouched buckets carry over by reference ----
+        val winners = dedupRawAndDecode(spark, raw, config.saltBuckets, numBuckets)
+          .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(numBuckets))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val stats = winners.groupBy(col(LakeTable.BucketCol)).agg(
+            count(lit(1)).as("winners"),
+            sum(when(col("op") === ChangeEvent.OpDelete, 1L).otherwise(0L)).as("deletes"),
+            sum(col("_n")).as("events"),
+            max(col("schema_version")).as("maxSv"),
+            min(col("seq")).as("minSeq"),
+            max(col("seq")).as("maxSeq")).collect()
+          mark("stats+cache")
+          val touched = stats.map(_.getAs[Int](LakeTable.BucketCol)).toSet
+          val maxSv = if (stats.isEmpty) 1 else stats.map(_.getAs[Int]("maxSv")).max
+          val schema = evolvedSchema(maxSv)
+          val dataCols = schema.fieldNames.toSeq
+          val target = readTarget(
+            snap.files.filter(f => touched.contains(f.bucket)), physicalOf(schema))
+            .repartition(numBuckets, col("url"))
+          val src = winners.drop("_n", LakeTable.BucketCol)
+          val files = writeMerged(mergeLww(src, target, dataCols), newVersion)
+          val carriedFiles = snap.files.filterNot(f => touched.contains(f.bucket))
+          val lineage = stats.toSeq.map { r =>
+            Map[String, Any](
+              "bucket" -> r.getAs[Int](LakeTable.BucketCol).toLong,
+              "rows" -> files.filter(_.bucket == r.getAs[Int](LakeTable.BucketCol)).map(_.rows).sum,
+              "upserts" -> (r.getAs[Long]("winners") - r.getAs[Long]("deletes")),
+              "deletes" -> r.getAs[Long]("deletes"),
+              "minSeq" -> r.getAs[Long]("minSeq"),
+              "maxSeq" -> r.getAs[Long]("maxSeq"),
+              "segFrom" -> segFrom,
+              "segTo" -> segTo)
+          }
+          val statsMap = Map[String, Any](
+            "events" -> stats.map(_.getAs[Long]("events")).sum,
+            "upserts" -> (stats.map(_.getAs[Long]("winners")).sum -
+              stats.map(_.getAs[Long]("deletes")).sum),
+            "deletes" -> stats.map(_.getAs[Long]("deletes")).sum,
+            "touchedBuckets" -> touched.size.toLong,
+            "strategy" -> "pruned")
+          (schema, files, carriedFiles, lineage, statsMap)
+        } finally winners.unpersist()
       }
-      val metrics = Map[String, Any](
-        "events" -> batchEvents,
-        "upserts" -> (batchWinners - batchDeletes),
-        "deletes" -> batchDeletes,
-        "touchedBuckets" -> touched.size.toLong,
-        "durationMs" -> (System.nanoTime() - t0) / 1000000L)
-      table.commit(Snapshot(
-        version = newVersion, batchId = batchId, parentVersion = snap.version,
-        watermarkSegment = segTo, schemaJson = newSchema.json,
-        numBuckets = numBuckets, files = carried ++ newFiles,
-        lineage = lineage, metrics = metrics))
-    } finally winners.unpersist()
+
+    if (crashBeforeCommit) throw new CrashInjected
+    val metrics = statsMap + ("durationMs" -> (System.nanoTime() - t0) / 1000000L)
+    table.commit(Snapshot(
+      version = newVersion, batchId = batchId, parentVersion = snap.version,
+      watermarkSegment = segTo, schemaJson = newSchema.json,
+      numBuckets = numBuckets, files = carried ++ newFiles,
+      lineage = lineageRows, metrics = metrics))
+  }
+
+  /** Driver-side header peek: (schema-version hint, file size). */
+  private def segmentHint(
+      path: String, conf: org.apache.hadoop.conf.Configuration): (Option[Int], Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val size = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val header = new Array[Byte](RecordCodec.SegmentHeaderLen)
+      in.readFully(0, header)
+      (RecordCodec.segmentSchemaHint(header), size)
+    } finally in.close()
   }
 
   /** MERGE INTO semantics over a full-outer join on the key: source row wins
@@ -250,7 +643,12 @@ object CdcIngest {
     val bucketDirs = Files.list(tmpDir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith(s"${LakeTable.BucketCol}="))
       .toSeq
-    val entries = bucketDirs.flatMap { bd =>
+    // parallel: footer reads are ~10ms each and there can be hundreds of
+    // buckets — serial moves were showing up as per-batch driver stalls
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val entryFutures = bucketDirs.map { bd => Future {
       val bucket = bd.getFileName.toString.stripPrefix(s"${LakeTable.BucketCol}=").toInt
       val parts = Files.list(bd).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
@@ -259,9 +657,10 @@ object CdcIngest {
         val dest = table.dataDir.resolve(name)
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
         val rows = parquetRowCount(dest, conf)
-        DataFileEntry(table.root.relativize(dest).toString, bucket, rows)
+        DataFileEntry(table.root.relativize(dest).toString, bucket, rows, Files.size(dest))
       }
-    }
+    }}
+    val entries = Await.result(Future.sequence(entryFutures), Duration.Inf).flatten
     deleteRecursively(tmpDir)
     entries
   }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * Lineage fields (per north rule): segment offset range applied by the
   * batch, per-bucket row counts, commit snapshot id, and batch metrics.
   */
-final case class DataFileEntry(path: String, bucket: Int, rows: Long)
+final case class DataFileEntry(path: String, bucket: Int, rows: Long, sizeBytes: Long = 0L)
 
 final case class Snapshot(
     version: Long,
@@ -73,7 +73,8 @@ final class LakeTable(val root: Path) {
       schemaJson = node.get("schemaJson").asText(),
       numBuckets = node.get("numBuckets").asInt(),
       files = node.get("files").elements().asScala.map { f =>
-        DataFileEntry(f.get("path").asText(), f.get("bucket").asInt(), f.get("rows").asLong())
+        DataFileEntry(f.get("path").asText(), f.get("bucket").asInt(), f.get("rows").asLong(),
+          Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(0L))
       }.toSeq,
       lineage = node.get("lineage").elements().asScala.map(jsonToMap).toSeq,
       metrics = jsonToMap(node.get("metrics")))
@@ -183,10 +184,13 @@ object LakeTable {
   private[lake] val Mapper = new ObjectMapper()
 
   /** Bucket assignment — pure function of the key so it never needs to be
-    * stored: `pmod(xxhash64(url), numBuckets)` (north rule's salted url-hash
-    * partitioning of the lake layout). */
+    * stored: `pmod(hash(url), numBuckets)` (north rule's salted url-hash
+    * partitioning of the lake layout). Uses Spark's murmur3 `hash` so that
+    * when the MERGE join runs with `repartition(numBuckets, url)`, Spark's
+    * HashPartitioning index EQUALS the bucket id — the join output is
+    * already bucket-clustered and the write needs no extra shuffle. */
   def bucketExpr(numBuckets: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(col("url")), lit(numBuckets.toLong)).cast("int")
+    pmod(hash(col("url")), lit(numBuckets)).cast("int")
 
   def create(rootDir: String, schema: StructType, numBuckets: Int): LakeTable = {
     val root = Paths.get(rootDir)
@@ -214,6 +218,7 @@ object LakeTable {
     s.files.foreach { f =>
       val fn = files.addObject()
       fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
+      fn.put("sizeBytes", f.sizeBytes)
     }
     val lin = node.putArray("lineage")
     s.lineage.foreach { m =>

@@ -16,8 +16,12 @@ import java.sql.Timestamp
   * @param text  extracted text, byte-identical-per-version invariant target
   * @param lang  ISO-ish code
   * @param schemaVersion feed schema version (2+ carries evolved columns)
-  * @param extra evolved columns as strings before promotion (additive schema
-  *              evolution, cf. schema_validator.py:116-128 "missing_in_target")
+  * @param fetch_status / @param content_len — v2 evolved columns, None for v1
+  *              records (additive schema evolution, cf.
+  *              schema_validator.py:116-128 "missing_in_target"). Typed
+  *              Option fields instead of a Map[String,String]: the Catalyst
+  *              map encoder allocates two arrays + per-entry UTF8Strings per
+  *              row and was the dominant GC source in the decode hot path.
   */
 final case class ChangeEvent(
     op: String,
@@ -28,7 +32,8 @@ final case class ChangeEvent(
     text: String,
     lang: String,
     schemaVersion: Int,
-    extra: Map[String, String])
+    fetch_status: Option[Int],
+    content_len: Option[Long])
 
 object ChangeEvent {
   val OpInsert = "I"

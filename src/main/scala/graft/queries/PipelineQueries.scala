@@ -131,7 +131,10 @@ object PipelineQueries {
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       def dot(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      // brute-force pair scan capped at 800 vectors (640k dot products at
+      // sf0.1) — the LSH-bucketed path (ann_lsh_topk) is the scale story
+      e.filter(col("vec_id") < 800).as("a")
+        .join(e.filter(col("vec_id") < 800).as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           (dot(col("a.v"), col("b.v")) /
             (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v"))))).as("cos"))
@@ -278,7 +281,7 @@ object PipelineQueries {
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings)
         |SELECT a.vec_id AS va, b.vec_id AS vb
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.vec_id < 800 AND b.vec_id < 800
         |WHERE list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.40""".stripMargin,
     "ann_brute_topk" ->

@@ -99,17 +99,16 @@ class CodecSpec extends AnyFunSuite with PropHelpers {
     sv <- Gen.oneOf(1, 2)
     textOpt <- Gen.option(Gen.asciiPrintableStr.map(_ + "§·漢字"))
     htmlOpt <- Gen.option(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
-    fs <- Gen.chooseNum(0L, 999L)
+    fs <- Gen.chooseNum(0, 999)
     cl <- Gen.chooseNum(0L, 99999999999L)
   } yield {
     val ts = RecordCodec.microsToTimestamp(tsMillis * 1000L + micros)
-    val extra = if (sv >= 2) Map("fetch_status" -> fs.toString, "content_len" -> cl.toString)
-                else Map.empty[String, String]
+    val (fso, clo) = if (sv >= 2) (Some(fs), Some(cl)) else (None, None)
     val del = op == "D"
     ChangeEvent(op, seq, s"https://d${urlN % 7}.example.com/p/$urlN", ts,
       if (del) null else htmlOpt.orNull,
       if (del) null else textOpt.orNull,
-      lang, sv, extra)
+      lang, sv, fso, clo)
   }
 
   test("ChangeEvent binary record round-trip (header + EBCDIC + zoned + packed)") {
@@ -126,14 +125,15 @@ class CodecSpec extends AnyFunSuite with PropHelpers {
         assert(java.util.Arrays.equals(d.text.getBytes("UTF-8"), e.text.getBytes("UTF-8")))
       assert((d.html == null) == (e.html == null))
       if (e.html != null) assert(java.util.Arrays.equals(d.html, e.html))
-      assert(d.extra == e.extra)
+      assert(d.fetch_status == e.fetch_status)
+      assert(d.content_len == e.content_len)
     }
   }
 
   test("segment framing round-trips a stream of records") {
     val evs = (0 until 100).map { i =>
       ChangeEvent("U", i.toLong, s"https://x.example.com/$i",
-        new Timestamp(1577836800000L + i), Array[Byte](1, 2, 3), s"t$i", "en", 1, Map.empty)
+        new Timestamp(1577836800000L + i), Array[Byte](1, 2, 3), s"t$i", "en", 1, None, None)
     }
     val seg = RecordCodec.frameSegment(evs.iterator.map(RecordCodec.encode))
     val back = RecordCodec.decodeSegment(seg).toSeq

@@ -117,8 +117,8 @@ class IngestSpec extends SparkTestBase {
     expected.foreach { case (url, e) =>
       val (fs, cl) = gotExtra(url)
       if (e.schemaVersion >= 2) {
-        assert(fs == e.extra("fetch_status"), s"fetch_status for $url")
-        assert(cl == e.extra("content_len"), s"content_len for $url")
+        assert(fs == e.fetch_status.get.toString, s"fetch_status for $url")
+        assert(cl == e.content_len.get.toString, s"content_len for $url")
       } else {
         assert(fs == null && cl == null, s"v1-era row for $url must have null evolved cols")
       }
@@ -140,7 +140,7 @@ class IngestSpec extends SparkTestBase {
     // buckets are touched — craft a tiny targeted batch instead)
     val one = ChangeEvent("U", 999999L, FeedGen.urlOf(spec, 0),
       graft.codec.RecordCodec.microsToTimestamp(FeedGen.BaseEpochMillis * 1000L + 1L),
-      Array[Byte](1), "tiny", "en", 1, Map.empty)
+      Array[Byte](1), "tiny", "en", 1, None, None)
     val tinyDir = tmpDir("tinyseg")
     Files.write(Paths.get(tinyDir, "segment-000001.bin"),
       graft.codec.RecordCodec.frameSegment(Iterator(graft.codec.RecordCodec.encode(one))))
