@@ -27,6 +27,7 @@ object MainIngest {
         |  MainIngest gen    <feedDir> <numEvents> <numUrls> [eventsPerSegment] [evolveAtEvent]
         |  MainIngest init   <tableDir> [numBuckets]
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets]
+        |  MainIngest stream <tableDir> <feedDir> [checkpointDir]
         |  MainIngest show   <tableDir>""".stripMargin)
     sys.exit(2)
   }
@@ -76,6 +77,21 @@ object MainIngest {
           f"(${events / secs}%.0f events/s); table now at v${snaps.last.version}, " +
           s"segment ${snaps.last.watermarkSegment}")
       }
+      spark.stop()
+
+    // Structured Streaming front-end: drains the WAL dir via availableNow
+    // foreachBatch MERGE (resumable through the checkpoint dir)
+    case "stream" :: tableDir :: feedDir :: rest =>
+      val ckpt = rest.headOption
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = graft.lake.LakeTable.load(tableDir)
+      val cfg = IngestConfig(numBuckets = table.currentSnapshot().numBuckets)
+      val n = graft.ingest.StreamingIngest.run(spark, table, feedDir, cfg,
+        checkpointDir = ckpt)
+      val snap = table.currentSnapshot()
+      println(s"streamed $n micro-batches; table now at v${snap.version}, " +
+        s"segment ${snap.watermarkSegment}")
       spark.stop()
 
     case "show" :: tableDir :: Nil =>

@@ -108,8 +108,11 @@ object CdcIngest {
   final case class RawEvent(url: String, seq: Long, ts_micros: Long,
       op: String, sv: Int, rec: Array[Byte])
 
-  /** Winner row after full decode, with the fold count carried through. */
-  private final case class FullWinner(
+  /** Winner row after full decode, with the fold count carried through.
+    * NOT private: Janino-generated encoder code cannot access private
+    * nested classes and silently falls back to interpreted serialization
+    * (observed as CompileException warnings in the hot decode path). */
+  final case class FullWinner(
       op: String, seq: Long, url: String, warc_ts: java.sql.Timestamp,
       html: Array[Byte], text: String, lang: String, schema_version: Int,
       fetch_status: Option[Int], content_len: Option[Long], _n: Long)

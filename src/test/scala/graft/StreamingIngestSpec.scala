@@ -1,0 +1,70 @@
+package graft
+
+import graft.feed.{FeedGen, FeedSpec}
+import graft.ingest.{CdcIngest, StreamingIngest}
+import graft.ingest.CdcIngest.IngestConfig
+import graft.lake.LakeTable
+
+/** Structured Streaming foreachBatch MERGE front-end (north rule §2.10):
+  * availableNow drain, micro-batch splitting, checkpointed resume. */
+class StreamingIngestSpec extends SparkTestBase {
+
+  private def oracleCount(spec: FeedSpec): Int =
+    FeedGen.expectedState(FeedGen.events(spec)).size
+
+  test("streaming availableNow drain matches the serial oracle") {
+    val spec = FeedSpec(seed = 31L, numEvents = 3000, numUrls = 300,
+      eventsPerSegment = 300, evolveAtEvent = 1500)
+    val feed = tmpDir("sfeed")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("stbl"), CdcIngest.PagesSchemaV1, 8)
+    // maxFilesPerTrigger=3 forces several micro-batches within one drain
+    val nBatches = StreamingIngest.run(spark, table, feed,
+      IngestConfig(numBuckets = 8), maxFilesPerTrigger = Some(3))
+    // micro-batch granularity under availableNow is source-internal and
+    // varies with listing timing — correctness below is what's asserted
+    assert(nBatches >= 1, s"expected at least one micro-batch, got $nBatches")
+    assert(table.read(spark).count() == oracleCount(spec))
+    assert(table.currentSnapshot().watermarkSegment == 9)
+    assert(table.currentSnapshot().schema.fieldNames.contains("fetch_status"))
+  }
+
+  test("checkpointed resume: second run applies only newly landed segments") {
+    val small = FeedSpec(seed = 37L, numEvents = 1000, numUrls = 200, eventsPerSegment = 250)
+    val big = small.copy(numEvents = 2000)
+    val feed = tmpDir("sfeed2")
+    FeedGen.writeSegments(small, feed)
+    val table = LakeTable.create(tmpDir("stbl2"), CdcIngest.PagesSchemaV1, 8)
+    val ckpt = tmpDir("sckpt")
+    StreamingIngest.run(spark, table, feed, IngestConfig(numBuckets = 8),
+      checkpointDir = Some(ckpt))
+    val v1 = table.currentSnapshot().version
+    assert(table.currentSnapshot().watermarkSegment == 3)
+    // same seed, more events → identical first 4 segments + 4 new ones
+    FeedGen.writeSegments(big, feed)
+    StreamingIngest.run(spark, table, feed, IngestConfig(numBuckets = 8),
+      checkpointDir = Some(ckpt))
+    assert(table.currentSnapshot().watermarkSegment == 7)
+    assert(table.currentSnapshot().version > v1)
+    assert(table.read(spark).count() == oracleCount(big))
+    // third run with nothing new: no state change
+    val v2 = table.currentSnapshot().version
+    StreamingIngest.run(spark, table, feed, IngestConfig(numBuckets = 8),
+      checkpointDir = Some(ckpt))
+    assert(table.currentSnapshot().version == v2)
+  }
+
+  test("replayed micro-batch is a no-op thanks to the table watermark") {
+    // simulate checkpoint loss: rerun the SAME feed with a fresh checkpoint;
+    // Spark re-delivers all files, the lake watermark makes it idempotent
+    val spec = FeedSpec(seed = 41L, numEvents = 1000, numUrls = 100, eventsPerSegment = 250)
+    val feed = tmpDir("sfeed3")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("stbl3"), CdcIngest.PagesSchemaV1, 8)
+    StreamingIngest.run(spark, table, feed, IngestConfig(numBuckets = 8))
+    val v1 = table.currentSnapshot().version
+    StreamingIngest.run(spark, table, feed, IngestConfig(numBuckets = 8)) // fresh ckpt
+    assert(table.currentSnapshot().version == v1, "re-delivery must not re-apply")
+    assert(table.read(spark).count() == oracleCount(spec))
+  }
+}
