@@ -168,8 +168,10 @@ object Bench {
     println(json)
 
     // ---- human-readable scaling report ----
+    // rows joined with "\n|": stripMargin strips exactly one "|" from the
+    // continuation lines, the first row rides the template's own margin
     val curveMd = curve.map(c =>
-      f"| $c | ${t(c)}%.2f | ${events / t(c)}%.0f |").mkString("\n")
+      f"| $c | ${t(c)}%.2f | ${events / t(c)}%.0f |").mkString("\n|")
     val md =
       s"""# BENCH — change-apply throughput & scaling (this round)
          |

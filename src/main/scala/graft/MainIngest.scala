@@ -28,6 +28,7 @@ object MainIngest {
         |  MainIngest init   <tableDir> [numBuckets]
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets]
         |  MainIngest stream <tableDir> <feedDir> [checkpointDir]
+        |  MainIngest export <tableDir> <outDir> [json|csv|parquet]
         |  MainIngest show   <tableDir>""".stripMargin)
     sys.exit(2)
   }
@@ -92,6 +93,22 @@ object MainIngest {
       val snap = table.currentSnapshot()
       println(s"streamed $n micro-batches; table now at v${snap.version}, " +
         s"segment ${snap.watermarkSegment}")
+      spark.stop()
+
+    // multi-format snapshot export + run manifest (reference K1-K3/K7 parity)
+    case "export" :: tableDir :: outDir :: rest =>
+      import graft.lake.Exporter
+      val fmt = rest.headOption.getOrElse("json") match {
+        case "csv" => Exporter.Csv
+        case "parquet" => Exporter.Parquet
+        case _ => Exporter.Json
+      }
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      val r = Exporter.export(spark, table.read(spark), outDir, fmt, "pages")
+      val manifest = Exporter.writeManifest(outDir, Seq(r))
+      println(s"exported ${r.rows} rows to ${r.path} in ${r.durationMs} ms; manifest: $manifest")
       spark.stop()
 
     case "show" :: tableDir :: Nil =>

@@ -1,0 +1,45 @@
+package graft
+
+import graft.feed.{FeedGen, FeedSpec}
+import graft.ingest.CdcIngest
+import graft.ingest.CdcIngest.IngestConfig
+import graft.lake.{Exporter, LakeTable}
+
+/** Multi-format export sinks + run manifest (K1-K3/K7 parity). */
+class ExporterSpec extends SparkTestBase {
+
+  private lazy val table: LakeTable = {
+    val spec = FeedSpec(seed = 43L, numEvents = 1000, numUrls = 150, eventsPerSegment = 500)
+    val feed = tmpDir("expfeed")
+    FeedGen.writeSegments(spec, feed)
+    val t = LakeTable.create(tmpDir("exptbl"), CdcIngest.PagesSchemaV1, 8)
+    CdcIngest.run(spark, t, feed, IngestConfig(numBuckets = 8))
+    t
+  }
+
+  test("exports a snapshot to json, csv and parquet with identical row counts") {
+    val out = tmpDir("expout")
+    val df = table.read(spark)
+    val n = df.count()
+    val results = Seq(Exporter.Json, Exporter.Csv, Exporter.Parquet).map { f =>
+      Exporter.export(spark, df, out, f, "pages")
+    }
+    assert(results.map(_.rows).toSet == Set(n))
+    // parquet round-trips the binary html; json/csv hex-encode it
+    val pq = spark.read.parquet(s"$out/pages.parquet")
+    assert(pq.schema("html").dataType == org.apache.spark.sql.types.BinaryType)
+    val js = spark.read.json(s"$out/pages.json")
+    assert(js.schema("html").dataType == org.apache.spark.sql.types.StringType)
+  }
+
+  test("single-file export and manifest (K7 parity)") {
+    val out = tmpDir("expout2")
+    val r = Exporter.export(spark, table.read(spark), out, Exporter.Json,
+      "pages", singleFile = true)
+    val parts = new java.io.File(r.path).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1, "coalesce(1) must yield a single data file")
+    val manifest = Exporter.writeManifest(out, Seq(r))
+    val json = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(manifest)))
+    assert(json.contains("\"datasets\" : 1") && json.contains("\"status\" : \"success\""))
+  }
+}
