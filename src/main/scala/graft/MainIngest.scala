@@ -29,7 +29,13 @@ object MainIngest {
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets]
         |  MainIngest stream <tableDir> <feedDir> [checkpointDir]
         |  MainIngest export <tableDir> <outDir> [json|csv|parquet]
-        |  MainIngest show   <tableDir>""".stripMargin)
+        |  MainIngest show   <tableDir>
+        |  MainIngest run      <registry.json> [manifestPath]
+        |  MainIngest validate <registry.json>
+        |  MainIngest list     <registry.json>
+        |  MainIngest parse-copybook <file.cpy>
+        |  MainIngest parse-ddl      <file.sql|.ddl>
+        |  MainIngest parse-dcl      <file.dcl>""".stripMargin)
     sys.exit(2)
   }
 
@@ -110,6 +116,101 @@ object MainIngest {
       val manifest = Exporter.writeManifest(outDir, Seq(r))
       println(s"exported ${r.rows} rows to ${r.path} in ${r.durationMs} ms; manifest: $manifest")
       spark.stop()
+
+    // ---- registry-driven multi-table apply (settings.py / db2_to_json.py
+    // dependency-order analog; SURVEY.md §3 CLI parity) ----
+    case "run" :: regPath :: rest =>
+      import graft.config.Registry
+      val reg = Registry.fromFile(regPath)
+      val (ok, errors) = reg.validate()
+      if (!ok) {
+        System.err.println("registry validation failed:")
+        errors.foreach(e => System.err.println(s"  - $e"))
+        sys.exit(1)
+      }
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val results = Registry.runAll(spark, reg, manifestPath = rest.headOption)
+      results.foreach { r =>
+        val v = r.countValidation.map(c =>
+          s" count=${c.actual}/${c.expected}${if (c.passed) " OK" else " FAIL"}")
+          .getOrElse("")
+        println(f"${r.name}%-24s batches=${r.batches} events=${r.events} " +
+          f"rows=${r.rows} watermark=${r.watermark} ${r.durationMs} ms$v")
+      }
+      spark.stop()
+      if (!results.forall(_.passed)) sys.exit(1)
+
+    case "validate" :: regPath :: Nil =>
+      val reg = graft.config.Registry.fromFile(regPath)
+      val (ok, errors) = reg.validate()
+      if (ok) println(s"registry OK: ${reg.feeds.size} feeds, apply order: " +
+        reg.applyOrder.map(_.name).mkString(" -> "))
+      else {
+        println("registry validation failed:")
+        errors.foreach(e => println(s"  - $e"))
+        sys.exit(1)
+      }
+
+    case "list" :: regPath :: Nil =>
+      val reg = graft.config.Registry.fromFile(regPath)
+      reg.feeds.foreach { f =>
+        val deps = if (f.dependsOn.isEmpty) "" else s" dependsOn=${f.dependsOn.mkString(",")}"
+        val exp = f.expectedCount.map(c => s" expected=$c±${f.tolerancePct}%").getOrElse("")
+        println(f"${f.name}%-24s feed=${f.feedDir} table=${f.tableDir}$deps$exp  ${f.description}")
+      }
+      println(s"total: ${reg.feeds.size} feeds")
+
+    // ---- schema-source inspection (cli.py:125-167 parity) ----
+    case "parse-copybook" :: path :: Nil =>
+      import graft.schema.Copybook
+      val root = Copybook.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+      println(s"record length: ${Copybook.recordLength(root)} bytes")
+      println(f"${"offset"}%6s ${"len"}%4s  field")
+      Copybook.layout(root).foreach { s =>
+        val idx = if (s.index >= 0) s"[${s.index}]" else ""
+        val pic = s.field.pic.map { p =>
+          val kind = if (p.alpha) "X" else if (p.signed) "S9" else "9"
+          val scale = if (p.scale > 0) s" scale=${p.scale}" else ""
+          s"PIC $kind(${p.length})$scale ${s.field.usage}"
+        }.getOrElse("")
+        println(f"${s.offset}%6d ${s.field.unitLength}%4d  ${s.path}$idx  $pic")
+      }
+      println("\nSpark schema:")
+      Copybook.toSparkSchema(root).fields.foreach(f =>
+        println(s"  ${f.name}: ${f.dataType.simpleString}"))
+
+    case "parse-ddl" :: path :: Nil =>
+      import graft.schema.DdlParser
+      val sql = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      DdlParser.parseScript(sql).foreach { t =>
+        println(s"table ${t.name}")
+        t.columns.foreach(c => println(
+          f"  ${c.name}%-24s ${c.sqlType}%-18s ${if (c.nullable) "" else "NOT NULL"}"))
+        if (t.primaryKey.nonEmpty) println(s"  PK: ${t.primaryKey.mkString(", ")}")
+        t.foreignKeys.foreach { case (cols, ref) =>
+          println(s"  FK: (${cols.mkString(", ")}) -> $ref") }
+        println("  Spark schema:")
+        t.schema.fields.foreach(f =>
+          println(s"    ${f.name}: ${f.dataType.simpleString}" +
+            (if (f.nullable) "" else " NOT NULL")))
+      }
+
+    case "parse-dcl" :: path :: Nil =>
+      import graft.schema.DclParser
+      val r = DclParser.parseFile(path)
+      println(s"table ${r.tableName} (${r.columnCount} columns)")
+      r.columns.foreach(c => println(
+        f"  ${c.name}%-24s ${c.sqlType}%-18s ${if (c.nullable) "" else "NOT NULL"}"))
+      println("  host variables:")
+      r.hostVars.foreach(v => println(
+        f"    ${v.level}%02d ${v.name}%-28s ${v.pic.getOrElse("")}%-18s -> ${v.sqlColumn.getOrElse("?")}"))
+      println("  Spark schema:")
+      r.sparkSchema.fields.foreach(f =>
+        println(s"    ${f.name}: ${f.dataType.simpleString}" +
+          (if (f.nullable) "" else " NOT NULL")))
 
     case "show" :: tableDir :: Nil =>
       val spark = session()

@@ -14,11 +14,16 @@ import java.nio.charset.Charset
 object MainframeNum {
 
   /** EBCDIC code page 37 (the reference's default CCSID 037,
-    * encoding.py:19-24). The JVM ships this charset natively. */
-  val Cp037: Charset = Charset.forName("IBM037")
+    * encoding.py:19-24). The JVM ships this charset natively; the full
+    * 13-codepage registry (encoding.py:19-40 parity) lives in [[Ccsid]]. */
+  val Cp037: Charset = Ccsid.charset(Ccsid.Default)
 
   def ebcdicToString(bytes: Array[Byte]): String = new String(bytes, Cp037)
   def stringToEbcdic(s: String): Array[Byte] = s.getBytes(Cp037)
+
+  /** CCSID-parameterized variants (any of the 13 registered code pages). */
+  def ebcdicToString(bytes: Array[Byte], ccsid: Int): String = Ccsid.decode(bytes, ccsid)
+  def stringToEbcdic(s: String, ccsid: Int): Array[Byte] = Ccsid.encode(s, ccsid)
 
   // ---------------------------------------------------------------------
   // Packed decimal (COMP-3): two BCD digits per byte, final nibble = sign

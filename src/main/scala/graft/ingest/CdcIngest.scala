@@ -440,6 +440,14 @@ object CdcIngest {
     if (segTo <= snap.watermarkSegment) return snap // already applied
     require(segFrom == snap.watermarkSegment + 1,
       s"gap in WAL: table at segment ${snap.watermarkSegment}, batch starts at $segFrom")
+    // An internal hole (e.g. {0,1,3}) would advance the watermark past the
+    // missing segment and silently drop it when it later arrives — reject.
+    locally {
+      val ids = segments.map(_._1).toSet
+      val missing = (segFrom to segTo).filterNot(ids.contains)
+      require(missing.isEmpty,
+        s"gap inside batch: segments $segFrom..$segTo missing ${missing.mkString(",")}")
+    }
     val batchId = s"seg$segFrom-$segTo"
     val numBuckets = snap.numBuckets
     val hconf = spark.sessionState.newHadoopConf()

@@ -24,14 +24,39 @@ import graft.lake.LakeTable
   *    (applyBatch skips batches at or below the committed watermark), so a
   *    crash between sink commit and checkpoint write cannot double-apply.
   *
-  * Segments inside one micro-batch may arrive out of order — they are
-  * sorted by id; the engine still requires the WAL itself to be gapless
-  * (an out-of-order LANDING across micro-batches fails fast with the
-  * gap-in-WAL error rather than silently skipping data).
+  * Micro-batch delivery order is NOT trusted: `FileStreamSource` orders
+  * files by modification time with an arbitrary tie-break, so one batch can
+  * carry segments {0,1,3} while {2} lands in the next. Each micro-batch is
+  * therefore treated purely as a *trigger*: the feed directory is re-listed
+  * and the contiguous run of segments above the table watermark is applied.
+  * Segments beyond a hole stay on disk and are picked up by a later trigger
+  * (or the final drain check), so out-of-order delivery can never lose data
+  * — [[CdcIngest.applyBatch]] additionally rejects any batch whose id set
+  * has an internal gap. Restart safety comes from the lake watermark, not
+  * the Spark checkpoint: the listing is reproducible from disk and replayed
+  * triggers are no-ops below the watermark.
   */
 object StreamingIngest {
 
   private val SegName = raw".*segment-(\d+)\.bin".r
+
+  import scala.jdk.CollectionConverters._
+
+  /** List `feedDir` for WAL segments, driver-side (cheap: one readdir). */
+  private def listSegments(feedDir: String): Seq[(Long, String)] = {
+    val dir = java.nio.file.Paths.get(stripScheme(feedDir))
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.flatMap { p =>
+        p.toString match {
+          case SegName(id) => Some(id.toLong -> p.toString)
+          case _           => None
+        }
+      }.toVector.sortBy(_._1)
+      finally s.close()
+    }
+  }
 
   /** Run a streaming ingest over `feedDir`. With [[Trigger.AvailableNow]]
     * (the default) this drains everything currently in the directory and
@@ -65,22 +90,37 @@ object StreamingIngest {
       .option("checkpointLocation", ckpt)
       .trigger(trigger)
       .foreachBatch { (batchDf: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val segs = batchDf.collect().map(_.getString(0)).toSeq
-          .flatMap { p =>
-            p match {
-              case SegName(id) => Some(id.toLong -> stripScheme(p))
-              case _           => None
-            }
-          }
-          .sortBy(_._1)
-        if (segs.nonEmpty) {
-          CdcIngest.applyBatch(spark, table, segs, config)
-          batches += 1
-        }
+        // The batch content is only a trigger; the authoritative work list
+        // is a fresh directory listing filtered to the contiguous run above
+        // the lake watermark (delivery order across micro-batches is not
+        // monotone in segment id — see scaladoc).
+        batchDf.select(count(lit(1))).collect() // force the source to advance
+        if (applyContiguous(spark, table, feedDir, config)) batches += 1
       }
       .start()
     query.awaitTermination()
+    // AvailableNow stops after draining what the SOURCE saw; a segment that
+    // landed mid-drain may still be waiting on disk — apply the remainder.
+    if (trigger == Trigger.AvailableNow()) {
+      while (applyContiguous(spark, table, feedDir, config)) batches += 1
+    }
     batches
+  }
+
+  /** Apply the contiguous run of on-disk segments above the table watermark
+    * (if any) as one engine batch. Returns true if a batch was applied. */
+  private def applyContiguous(
+      spark: SparkSession,
+      table: LakeTable,
+      feedDir: String,
+      config: IngestConfig): Boolean = {
+    val watermark = table.currentSnapshot().watermarkSegment
+    val pending = listSegments(feedDir).dropWhile(_._1 <= watermark)
+    val run = pending.zipWithIndex
+      .takeWhile { case ((id, _), i) => id == watermark + 1 + i }
+      .map(_._1)
+    if (run.nonEmpty) { CdcIngest.applyBatch(spark, table, run, config); true }
+    else false
   }
 
   private def stripScheme(p: String): String =

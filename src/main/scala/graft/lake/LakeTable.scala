@@ -95,6 +95,14 @@ final class LakeTable(val root: Path) {
     * success, or the already-committed identical snapshot when the same
     * batchId raced/was replayed (idempotent re-commit, SURVEY.md §2.10). */
   def commit(snap: Snapshot): Snapshot = {
+    // Fail-closed evolution gate: the new snapshot's schema must be an
+    // additive/promotable evolution of the current one (no dropped columns,
+    // no narrowing). Throws the typed SchemaEvolutionException otherwise.
+    if (listVersions().nonEmpty) {
+      val cur = currentSnapshot()
+      if (cur.version < snap.version && cur.schemaJson != snap.schemaJson)
+        graft.schema.SchemaValidator.requireCompatible(cur.schema, snap.schema)
+    }
     val json = renderSnapshot(snap)
     val tmp = snapshotsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
     Files.write(tmp, json.getBytes("UTF-8"))

@@ -308,14 +308,14 @@ object CoreQueries {
         |FROM events GROUP BY event_type""".stripMargin,
     "q13_null_profile" ->
       """SELECT COUNT(*) AS n_rows,
-        | SUM(CASE WHEN user_id IS NULL OR CAST(user_id AS VARCHAR) = '' THEN 1 ELSE 0 END) AS user_id_nulls,
-        | SUM(CASE WHEN event_type IS NULL OR CAST(event_type AS VARCHAR) = '' THEN 1 ELSE 0 END) AS event_type_nulls,
-        | SUM(CASE WHEN value IS NULL OR CAST(value AS VARCHAR) = '' THEN 1 ELSE 0 END) AS value_nulls,
-        | SUM(CASE WHEN props IS NULL OR CAST(props AS VARCHAR) = '' THEN 1 ELSE 0 END) AS props_nulls
+        | CAST(SUM(CASE WHEN user_id IS NULL OR CAST(user_id AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+        | CAST(SUM(CASE WHEN event_type IS NULL OR CAST(event_type AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+        | CAST(SUM(CASE WHEN value IS NULL OR CAST(value AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+        | CAST(SUM(CASE WHEN props IS NULL OR CAST(props AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls
         |FROM events""".stripMargin,
     "q14_fingerprint" ->
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT text) AS n_distinct_text,
-        | SUM(n_chars) AS sum_chars, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
         | COUNT(DISTINCT lang) AS n_langs
         |FROM documents""".stripMargin,
     "q15_rename_trim" ->

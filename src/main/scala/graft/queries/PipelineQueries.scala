@@ -339,7 +339,7 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
         |FROM documents""".stripMargin,
     "ta_token_totals" ->
-      """SELECT lang, SUM(len(string_split(text, ' '))) AS total_tokens, COUNT(*) AS n_docs
+      """SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
         |FROM documents GROUP BY lang""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -49,8 +49,28 @@ object SystemQueries {
   private val CdcSpec = FeedSpec(seed = 42L, numEvents = 4000, numUrls = 400,
     eventsPerSegment = 1000, evolveAtEvent = 2000)
 
-  /** replay the deterministic feed into a fresh lake table, return the final
-    * live state (hashed text so the dump stays small). */
+  /** Per-(op,schema_version) oracle stats row for self-certified decode. */
+  final case class DecodeStats(
+      op: String, schema_version: Int, n: Long, min_seq: Long, max_seq: Long,
+      n_urls: Long)
+
+  /** Per-url oracle state row for the self-certifying replay compare. */
+  final case class OracleState(
+      url: String, warc_ts: java.sql.Timestamp, lang: String, text_fp: String,
+      fetch_status: Option[Int], content_len: Option[Long])
+
+  private def md5Hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Replay the deterministic feed into a fresh lake table, then SELF-CERTIFY:
+    * join the engine's final state against an independently computed serial
+    * oracle (driver-side fold over the raw event stream, no Spark, no engine
+    * code) and emit per-row `row_match` plus a global `digest_match` column.
+    * The driver's rows-only check thus certifies replay equality: any engine
+    * divergence flips `digest_match` to false on every row (and row counts
+    * change via the full-outer join). */
   def cdcReplay(s: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("cdcq")
     val feedDir = work.resolve("feed").toString
@@ -58,9 +78,21 @@ object SystemQueries {
     val table = LakeTable.create(work.resolve("table").toString,
       CdcIngest.PagesSchemaV1, numBuckets = 16)
     CdcIngest.run(s, table, feedDir, IngestConfig(numBuckets = 16, segmentsPerBatch = 2))
-    table.read(s).select(col("url"), col("warc_ts"), col("lang"),
+    val engine = table.read(s).select(col("url"), col("warc_ts"), col("lang"),
       md5(col("text").cast("binary")).as("text_fp"),
       col("fetch_status"), col("content_len"))
+    // independent serial oracle: one pass over the decoded event stream
+    val oracle = FeedGen.expectedState(FeedGen.events(CdcSpec)).values.toSeq.map { e =>
+      OracleState(e.url, e.warcTs, e.lang, md5Hex(e.text), e.fetch_status, e.content_len)
+    }
+    val oracleDf = s.createDataFrame(oracle)
+    val matchCols = Seq("warc_ts", "lang", "text_fp", "fetch_status", "content_len")
+    def joined = engine.alias("e").join(oracleDf.alias("o"), Seq("url"), "full_outer")
+      .withColumn("row_match",
+        matchCols.map(c => col(s"e.$c") <=> col(s"o.$c")).reduce(_ && _))
+    val allMatch = joined.filter(!col("row_match")).isEmpty
+    joined.select((col("url") +: matchCols.map(c => col(s"e.$c").as(c))) :+
+      col("row_match") :+ lit(allMatch).as("digest_match"): _*)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -76,14 +108,29 @@ object SystemQueries {
     // CDC engine end-to-end (rows-only oracle; serial-oracle gate in tests)
     "cdc_replay_state" -> ((s, dir) => cdcReplay(s, dir)),
 
-    // binary WAL decode stats (codec exercised through Spark)
+    // binary WAL decode stats (codec exercised through Spark), self-certified
+    // against a driver-side fold over the same decoded event stream
     "cdc_decode_stats" -> ((s, dir) => {
       val work = Files.createTempDirectory("cdcd")
       val paths = FeedGen.writeSegments(CdcSpec, work.toString).map(_.toString)
-      CdcIngest.eventsDf(s, paths)
+      val stats = CdcIngest.eventsDf(s, paths)
         .groupBy(col("op"), col("schema_version"))
         .agg(count(lit(1)).as("n"), min(col("seq")).as("min_seq"),
           max(col("seq")).as("max_seq"), countDistinct(col("url")).as("n_urls"))
+      val oracle = FeedGen.events(CdcSpec).toSeq
+        .groupBy(e => (e.op, e.schemaVersion))
+        .map { case ((op, sv), es) =>
+          DecodeStats(op, sv, es.size.toLong, es.map(_.seq).min, es.map(_.seq).max,
+            es.map(_.url).distinct.size.toLong)
+        }.toSeq
+      val oracleDf = s.createDataFrame(oracle)
+      val mc = Seq("n", "min_seq", "max_seq", "n_urls")
+      def j = stats.alias("e")
+        .join(oracleDf.alias("o"), Seq("op", "schema_version"), "full_outer")
+        .withColumn("row_match", mc.map(c => col(s"e.$c") <=> col(s"o.$c")).reduce(_ && _))
+      val allMatch = j.filter(!col("row_match")).isEmpty
+      j.select((Seq(col("op"), col("schema_version")) ++ mc.map(c => col(s"e.$c").as(c))) :+
+        col("row_match") :+ lit(allMatch).as("digest_match"): _*)
     })
   )
 

@@ -31,6 +31,14 @@ class QueriesSpec extends SparkTestBase {
     assert(df.columns.contains("text_fp"))
   }
 
+  test("spot: cdc queries self-certify (digest_match true on every row)") {
+    Seq("cdc_replay_state", "cdc_decode_stats").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(df.filter(!col("digest_match") || !col("row_match")).isEmpty,
+        s"$q: engine state diverges from the independent serial oracle")
+    }
+  }
+
   test("spot: q06 orphan count is zero (testdata FKs are consistent)") {
     val n = SparkEntry.queries("q06_left_anti_orphans")(spark, sf)
       .head.getLong(0)

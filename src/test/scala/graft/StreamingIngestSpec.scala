@@ -54,6 +54,57 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(table.currentSnapshot().version == v2)
   }
 
+  test("out-of-order micro-batch delivery (reversed mtimes) loses nothing") {
+    // FileStreamSource orders files by modification time — reversing the
+    // mtimes makes it deliver segments in REVERSE id order across the
+    // maxFilesPerTrigger=3 micro-batches. The listing-driven foreachBatch
+    // must still apply everything exactly once, in order.
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val spec = FeedSpec(seed = 43L, numEvents = 3000, numUrls = 300,
+      eventsPerSegment = 300, evolveAtEvent = 1500)
+    val feed = tmpDir("sfeed4")
+    val paths = FeedGen.writeSegments(spec, feed)
+    paths.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(2_000_000_000_000L - i * 60_000L))
+    }
+    val table = LakeTable.create(tmpDir("stbl4"), CdcIngest.PagesSchemaV1, 8)
+    StreamingIngest.run(spark, table, feed,
+      IngestConfig(numBuckets = 8), maxFilesPerTrigger = Some(3))
+    assert(table.read(spark).count() == oracleCount(spec))
+    assert(table.currentSnapshot().watermarkSegment == 9)
+  }
+
+  test("segment landing late (hole on disk) is applied by a later run") {
+    import java.nio.file.{Files, StandardCopyOption}
+    val spec = FeedSpec(seed = 47L, numEvents = 1200, numUrls = 150, eventsPerSegment = 300)
+    val feed = tmpDir("sfeed5")
+    val paths = FeedGen.writeSegments(spec, feed) // segments 0..3
+    val hole = paths(2)
+    val aside = hole.resolveSibling("held-back.tmp")
+    Files.move(hole, aside, StandardCopyOption.ATOMIC_MOVE)
+    val table = LakeTable.create(tmpDir("stbl5"), CdcIngest.PagesSchemaV1, 8)
+    StreamingIngest.run(spark, table, feed, IngestConfig(numBuckets = 8))
+    // only the contiguous prefix {0,1} may be applied; 3 stays pending
+    assert(table.currentSnapshot().watermarkSegment == 1)
+    Files.move(aside, hole, StandardCopyOption.ATOMIC_MOVE)
+    StreamingIngest.run(spark, table, feed, IngestConfig(numBuckets = 8))
+    assert(table.currentSnapshot().watermarkSegment == 3)
+    assert(table.read(spark).count() == oracleCount(spec))
+  }
+
+  test("applyBatch rejects a batch with an internal segment gap") {
+    val spec = FeedSpec(seed = 53L, numEvents = 1200, numUrls = 150, eventsPerSegment = 300)
+    val feed = tmpDir("sfeed6")
+    val paths = FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("stbl6"), CdcIngest.PagesSchemaV1, 8)
+    val gappy = Seq(0L, 1L, 3L).map(i => i -> paths(i.toInt).toString)
+    val ex = intercept[IllegalArgumentException] {
+      CdcIngest.applyBatch(spark, table, gappy, IngestConfig(numBuckets = 8))
+    }
+    assert(ex.getMessage.contains("gap inside batch"))
+  }
+
   test("replayed micro-batch is a no-op thanks to the table watermark") {
     // simulate checkpoint loss: rerun the SAME feed with a fresh checkpoint;
     // Spark re-delivers all files, the lake watermark makes it idempotent

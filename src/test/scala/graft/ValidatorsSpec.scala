@@ -61,4 +61,88 @@ class ValidatorsSpec extends SparkTestBase {
     assert(Validators.rowsetEqual(a, b))
     assert(!Validators.rowsetEqual(a, c))
   }
+
+  // ---- SchemaValidator (schema_validator.py:101-335 parity) ----
+
+  import org.apache.spark.sql.types._
+  import graft.schema.SchemaValidator
+  import graft.schema.SchemaValidator.{Options, SchemaEvolutionException}
+
+  private val base = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("amount", DecimalType(9, 2))))
+
+  test("compare: identical schemas are compatible with no changes") {
+    val r = SchemaValidator.compare(base, base)
+    assert(r.isCompatible && r.typeMismatches.isEmpty && r.compatibleChanges.isEmpty)
+    assert(r.matching.toSet == Set("id", "name", "amount"))
+  }
+
+  test("compare: promotion (int->long, decimal widening) is compatible, reported") {
+    val src = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType),
+      StructField("amount", DecimalType(7, 2))))
+    val r = SchemaValidator.compare(src, base)
+    assert(r.isCompatible)
+    assert(r.compatibleChanges.keySet == Set("id", "amount"))
+    // strict mode rejects the same widening
+    assert(!SchemaValidator.compare(src, base, Options(strictMode = true)).isCompatible)
+    // promotion disabled → mismatch
+    val r2 = SchemaValidator.compare(src, base, Options(allowTypePromotion = false))
+    assert(!r2.isCompatible && r2.typeMismatches.keySet == Set("id", "amount"))
+  }
+
+  test("compare: narrowing and dropped columns are incompatible") {
+    val narrowed = StructType(Seq(
+      StructField("id", IntegerType), // long -> int: narrowing
+      StructField("name", StringType),
+      StructField("amount", DecimalType(9, 2))))
+    val r = SchemaValidator.compare(base, narrowed)
+    assert(!r.isCompatible && r.typeMismatches.keySet == Set("id"))
+    val dropped = StructType(base.fields.filter(_.name != "name"))
+    val r2 = SchemaValidator.compare(base, dropped)
+    assert(!r2.isCompatible && r2.missingInTarget == Seq("name"))
+    assert(SchemaValidator.compare(base, dropped,
+      Options(allowMissingInTarget = true)).isCompatible)
+    intercept[SchemaEvolutionException](
+      SchemaValidator.requireCompatible(base, dropped))
+  }
+
+  test("validate: required fields and expected types") {
+    val (ok, _) = SchemaValidator.validate(base, Seq("id", "name"))
+    assert(ok)
+    val (bad, errs) = SchemaValidator.validate(base, Seq("nope"),
+      Map("name" -> LongType))
+    assert(!bad && errs.size == 2)
+  }
+
+  test("inferTargetSchema applies renames and type overrides") {
+    val t = SchemaValidator.inferTargetSchema(base,
+      typeMappings = Map("amount" -> DoubleType),
+      columnMappings = Map("name" -> "full_name"))
+    assert(t.fieldNames.toSeq == Seq("id", "full_name", "amount"))
+    assert(t("amount").dataType == DoubleType)
+    assert(!t("id").nullable) // nullability carried through
+  }
+
+  test("LakeTable commit gate: incompatible snapshot schema is a typed error") {
+    import graft.lake.LakeTable
+    val t = LakeTable.create(tmpDir("sevol"), base, numBuckets = 4)
+    val s0 = t.currentSnapshot()
+    // additive evolution commits fine
+    val widened = StructType(base.fields :+ StructField("extra", IntegerType))
+    t.commit(s0.copy(version = s0.version + 1, batchId = "evolve-ok",
+      parentVersion = s0.version, schemaJson = widened.json))
+    // dropping a column is rejected with the report attached
+    val s1 = t.currentSnapshot()
+    val dropped = StructType(widened.fields.filter(_.name != "name"))
+    val ex = intercept[SchemaEvolutionException] {
+      t.commit(s1.copy(version = s1.version + 1, batchId = "evolve-bad",
+        parentVersion = s1.version, schemaJson = dropped.json))
+    }
+    assert(ex.report.missingInTarget == Seq("name"))
+    assert(t.currentSnapshot().version == s1.version, "bad commit must not land")
+  }
 }
