@@ -28,7 +28,7 @@ object MainIngest {
         |  MainIngest init   <tableDir> [numBuckets]
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets]
         |  MainIngest stream <tableDir> <feedDir> [checkpointDir]
-        |  MainIngest export <tableDir> <outDir> [json|csv|parquet]
+        |  MainIngest export <tableDir> <outDir> [json|csv|parquet] [--checksums]
         |  MainIngest show   <tableDir>
         |  MainIngest run      <registry.json> [manifestPath]
         |  MainIngest validate <registry.json>
@@ -112,7 +112,8 @@ object MainIngest {
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val table = LakeTable.load(tableDir)
-      val r = Exporter.export(spark, table.read(spark), outDir, fmt, "pages")
+      val r = Exporter.export(spark, table.read(spark), outDir, fmt, "pages",
+        withChecksums = rest.contains("--checksums"))
       val manifest = Exporter.writeManifest(outDir, Seq(r))
       println(s"exported ${r.rows} rows to ${r.path} in ${r.durationMs} ms; manifest: $manifest")
       spark.stop()

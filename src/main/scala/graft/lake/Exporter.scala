@@ -17,7 +17,12 @@ object Exporter {
   case object Parquet extends Format { val name = "parquet" }
 
   final case class ExportResult(
-      dataset: String, format: String, path: String, rows: Long, durationMs: Long)
+      dataset: String, format: String, path: String, rows: Long, durationMs: Long,
+      checksums: Seq[FileChecksum] = Seq.empty)
+
+  /** Content digest of one written output file (file_utils.py:46-87 parity:
+    * the reference records per-file and per-directory md5/sha256). */
+  final case class FileChecksum(name: String, bytes: Long, md5: String, sha256: String)
 
   def export(
       spark: SparkSession,
@@ -25,7 +30,8 @@ object Exporter {
       outDir: String,
       format: Format,
       datasetName: String = "dataset",
-      singleFile: Boolean = false): ExportResult = {
+      singleFile: Boolean = false,
+      withChecksums: Boolean = false): ExportResult = {
     val t0 = System.nanoTime()
     // binary columns are not JSON/CSV-representable — hex-encode them
     // (the reference's JSON sink relies on Cobrix pre-decoding everything)
@@ -40,17 +46,43 @@ object Exporter {
         }
     }
     val shaped = if (singleFile) exportable.coalesce(1) else exportable
+    // row count via observe(): collected as a side effect of the write
+    // itself — no second scan of the sink (and no CSV/JSON re-inference)
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = shaped.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
     val path = s"$outDir/$datasetName.${format.name}"
-    val writer = shaped.write.mode("overwrite")
+    val writer = observed.write.mode("overwrite")
     format match {
       case Json    => writer.json(path)
       case Csv     => writer.option("header", "true").csv(path)
       case Parquet => writer.parquet(path)
     }
-    val rows = spark.read.format(format.name)
-      .option("header", "true").load(path).count()
+    val rows = obs.get("rows").asInstanceOf[Long]
+    val sums = if (withChecksums) fileChecksums(spark, path) else Seq.empty
     ExportResult(datasetName, format.name, path, rows,
-      (System.nanoTime() - t0) / 1000000L)
+      (System.nanoTime() - t0) / 1000000L, sums)
+  }
+
+  /** Distributed per-file content digests of an output directory: one
+    * binaryFile scan, md5 + sha256 per part file (never on the driver — at
+    * cluster scale each executor hashes its own files). Opt-in: it is the
+    * one case where re-reading the sink is the point. */
+  def fileChecksums(spark: SparkSession, path: String): Seq[FileChecksum] = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "part-*")
+      .load(path)
+      .select(
+        regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+        col("length"),
+        md5(col("content")).as("md5"),
+        sha2(col("content"), 256).as("sha256"))
+      .collect()
+      .map(r => FileChecksum(r.getString(0), r.getLong(1),
+        r.getString(2), r.getString(3)))
+      .sortBy(_.name).toSeq
   }
 
   /** Per-run JSON manifest (K7 parity: per-dataset status/count/duration). */
@@ -64,6 +96,14 @@ object Exporter {
       e.put("dataset", r.dataset); e.put("format", r.format)
       e.put("path", r.path); e.put("rows", r.rows)
       e.put("duration_ms", r.durationMs); e.put("status", "success")
+      if (r.checksums.nonEmpty) {
+        val fs = e.putArray("files")
+        r.checksums.foreach { c =>
+          val fn = fs.addObject()
+          fn.put("name", c.name); fn.put("bytes", c.bytes)
+          fn.put("md5", c.md5); fn.put("sha256", c.sha256)
+        }
+      }
     }
     val json = LakeTable.Mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
     val p = Paths.get(outDir, "export_manifest.json")

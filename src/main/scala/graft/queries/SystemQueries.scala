@@ -31,18 +31,25 @@ object SystemQueries {
     val staged = srcDir.resolve("events.parquet")
     try Files.createSymbolicLink(staged, java.nio.file.Paths.get(path))
     catch { case _: Exception => Files.copy(java.nio.file.Paths.get(path), staged) }
-    val name = "strm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // complete-mode result lands in a parquet sink via foreachBatch
+    // (executor-side write, overwritten per micro-batch) instead of the
+    // round-1 memory sink, which accumulated the whole result on the driver
+    val sinkDir = Files.createTempDirectory("strmsink").toString
     val q = s.readStream.schema(sch).parquet(srcDir.toString)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .writeStream.outputMode("complete")
       .option("checkpointLocation", Files.createTempDirectory("strmck").toString)
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(sinkDir)
+      }
+      .start()
     q.awaitTermination()
-    s.table(name)
+    s.read.parquet(sinkDir)
   }
 
   // ---- CDC engine through the harness (deterministic synthesized feed) ----

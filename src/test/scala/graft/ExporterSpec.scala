@@ -32,6 +32,32 @@ class ExporterSpec extends SparkTestBase {
     assert(js.schema("html").dataType == org.apache.spark.sql.types.StringType)
   }
 
+  test("per-file content checksums match an independent local digest") {
+    val out = tmpDir("expout3")
+    val r = Exporter.export(spark, table.read(spark), out, Exporter.Csv,
+      "pages", singleFile = true, withChecksums = true)
+    assert(r.checksums.nonEmpty)
+    r.checksums.foreach { c =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(r.path, c.name))
+      def hex(alg: String) = java.security.MessageDigest.getInstance(alg)
+        .digest(bytes).map("%02x".format(_)).mkString
+      assert(c.bytes == bytes.length)
+      assert(c.md5 == hex("MD5") && c.sha256 == hex("SHA-256"))
+    }
+    val manifest = Exporter.writeManifest(out, Seq(r))
+    val json = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(manifest)))
+    assert(json.contains("\"sha256\""))
+  }
+
+  test("rows with embedded newlines are counted correctly (observe, not re-read)") {
+    import spark.implicits._
+    val tricky = Seq(("a", "line1\nline2"), ("b", "x,y\n\"q\"")).toDF("k", "v")
+    val out = tmpDir("expout4")
+    val r = Exporter.export(spark, tricky, out, Exporter.Csv, "tricky")
+    assert(r.rows == 2, "embedded newlines must not inflate the manifest count")
+  }
+
   test("single-file export and manifest (K7 parity)") {
     val out = tmpDir("expout2")
     val r = Exporter.export(spark, table.read(spark), out, Exporter.Json,
