@@ -34,11 +34,32 @@ object Bench {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(java.nio.file.Paths.get(Scratch), prefix).toString
 
-  private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+  /** One benchmarked parallelism configuration. Thread mode (`local[k]`)
+    * shares one JVM; executor mode (`local-cluster[n,c,mem]`) launches n
+    * SEPARATE executor JVMs — the sandbox's faithful stand-in for the
+    * north rule's "N and 4N executors" (each executor has its own heap,
+    * GC and JIT; only the physical memory bus is still shared). */
+  final case class BenchCfg(label: String, master: String, cores: Int) {
+    def isExecutorMode: Boolean = master.startsWith("local-cluster")
+  }
+
+  private def session(cfg: BenchCfg): SparkSession = {
+    val b = SparkSession.builder()
+      .master(cfg.master)
+      .appName(s"graft-bench-${cfg.label}")
+      .config("spark.sql.shuffle.partitions", cfg.cores.toString)
+    if (cfg.isExecutorMode) {
+      // executor JVMs are launched fresh by the worker: they need the repo
+      // classes on the classpath and a sane heap (the driver's -Xmx does
+      // not apply). NO AlwaysPreTouch here — a pre-touched multi-GB heap
+      // per short-lived executor poisons the timing with startup cost.
+      b.config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+        .config("spark.executor.memory", "2g")
+        .config("spark.executor.extraJavaOptions",
+          "-XX:+UseG1GC -XX:+UseTransparentHugePages")
+    }
+    val s = b
       .config("spark.local.dir", Scratch)
       // shuffle files live on tmpfs here — compression is pure CPU overhead
       // (the stage trace showed shuffle-write time ≈ half of task run time);
@@ -73,10 +94,12 @@ object Bench {
   }
 
   /** Timed ingest of `feedDir` into a fresh table at the given parallelism.
+    * Executor-mode sessions always run the warm-up feed first: it waits for
+    * executor registration AND warms their JIT through the same code path.
     * @return (events applied, seconds) */
-  private def timedIngest(cpus: Int, feedDir: String, buckets: Int,
+  private def timedIngest(cfg: BenchCfg, feedDir: String, buckets: Int,
       warmupDir: Option[String]): (Long, Double) = {
-    val spark = session(cpus)
+    val spark = session(cfg)
     try {
       warmupDir.foreach { wd => // JIT + codegen warm-up through the same path
         val wt = LakeTable.create(tmpDir("benchwarm"), CdcIngest.PagesSchemaV1, buckets)
@@ -101,7 +124,7 @@ object Bench {
     // ---- 1. query corpus timings at the driver-provided parallelism ----
     // (SPARK_GRAFT_SKIP_QUERIES=1 skips this section — dev iteration knob)
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
-    lazy val sQ = session(cpus)
+    lazy val sQ = session(BenchCfg(cpus.toString, s"local[$cpus]", cpus))
     var annRecall = Map.empty[String, Double] // approx-ANN recall@5 vs brute
     val results: Seq[(String, Double)] =
       if (skipQueries) Seq.empty
@@ -138,46 +161,71 @@ object Bench {
     val warmDir = tmpDir("benchwarmfeed")
     FeedGen.writeSegments(warmSpec, warmDir)
     val buckets = 64
-    // Interleaved min-of-k over the full core-count curve {2, 8, N, 4N}:
-    // the sandbox host shows random multi-x slowdowns (noisy neighbor) —
-    // alternating core counts and taking per-count minima removes order
-    // bias and most of the noise. Two N->4N pairs are reported: (2,8)
-    // sits below this VM's memory-saturation knee (a single-box artifact
-    // a real multi-node cluster does not share — see BENCH.md), (N,4N)
-    // is the driver-requested pair.
-    val curve = Seq(2, 8, nLow, cpus).distinct.sorted
-    var best = curve.map(c => c -> (0L, Double.MaxValue)).toMap
-    timedIngest(cpus, warmDir, buckets, None) // JIT warm-up, untimed
+    // Two scaling axes, both interleaved min-of-k (the sandbox host shows
+    // random multi-x noisy-neighbor slowdowns — alternating configs and
+    // taking per-config minima removes order bias and most of the noise):
+    //  - thread mode {2, 8, N, 4N} cores in ONE JVM — (2,8) sits below
+    //    this VM's memory-saturation knee, (N,4N) is the driver pair;
+    //  - executor mode local-cluster[1|4, 4, mem] — SEPARATE executor
+    //    JVMs, the honest stand-in for the north rule's N→4N executors.
+    val threadCfgs = Seq(2, 8, nLow, cpus).distinct.sorted
+      .map(c => BenchCfg(c.toString, s"local[$c]", c))
+    val execCfgs = Seq(
+      BenchCfg("1x4", "local-cluster[1,4,3072]", 4),
+      BenchCfg("4x4", "local-cluster[4,4,3072]", 16))
+    val skipExec = sys.env.get("SPARK_GRAFT_SKIP_EXEC").contains("1")
+    val curve0 = threadCfgs ++ (if (skipExec) Seq.empty else execCfgs)
+    // dev knob: SPARK_GRAFT_CURVE="8,4x4" restricts to named configs
+    val curve = sys.env.get("SPARK_GRAFT_CURVE") match {
+      case Some(sel) =>
+        val want = sel.split(',').map(_.trim).toSet
+        curve0.filter(c => want.contains(c.label))
+      case None => curve0
+    }
+    var best = curve.map(c => c.label -> (0L, Double.MaxValue)).toMap
+    timedIngest(threadCfgs.last, warmDir, buckets, None) // JIT warm-up, untimed
     for (_ <- 1 to 3; c <- curve) {
-      val r = timedIngest(c, feedDir, buckets, None)
-      System.err.println(f"[bench] cores=$c%-3d wall=${r._2}%7.2f s")
-      if (r._2 < best(c)._2) best += c -> r
+      // executor mode gets a per-session warm-up: fresh executor JVMs must
+      // register and JIT before the timed run
+      val r = timedIngest(c, feedDir, buckets,
+        if (c.isExecutorMode) Some(warmDir) else None)
+      System.err.println(f"[bench] cfg=${c.label}%-4s wall=${r._2}%7.2f s")
+      if (r._2 < best(c.label)._2) best += c.label -> r
     }
     require(best.values.map(_._1).toSet.size == 1,
       s"same input must apply same events at every parallelism: $best")
-    def t(c: Int): Double = best(c)._2
-    val events = best(cpus)._1
-    def eff(n: Int, n4: Int): Double = (t(n) / t(n4)) / (n4.toDouble / n)
-    val effLowPair = eff(2, 8)
-    val effHighPair = eff(nLow, cpus)
-    val epsHigh = events / t(cpus)
+    // total accessors: labels absent under a filtered dev curve yield NaN
+    // (the emitted JSON is only consumed by the driver on full runs)
+    def t(label: String): Double = best.get(label).map(_._2).getOrElse(Double.NaN)
+    val events = best.values.map(_._1).max
+    def eff(n: String, n4: String, factor: Double = 4.0): Double =
+      (t(n) / t(n4)) / factor
+    val effLowPair = eff("2", "8")
+    val effHighPair = eff(nLow.toString, cpus.toString, cpus.toDouble / nLow)
+    val effExecPair = if (skipExec) 0.0 else eff("1x4", "4x4")
+    val epsHigh = events / t(cpus.toString)
 
     // ---- emit ----
     val qJson = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
     val totalQ = results.map(_._2).sum
     val curveJson = curve.map(c =>
-      s""""$c":{"t_sec":${f"${t(c)}%.2f"},"eps":${f"${events / t(c)}%.0f"}}""")
+      s""""${c.label}":{"t_sec":${f"${t(c.label)}%.2f"},"eps":${f"${events / t(c.label)}%.0f"}}""")
       .mkString("{", ",", "}")
     val recallJson = annRecall.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val execJson = if (skipExec) "" else
+      s""""executor_pair":{"n_executors":1,"n4_executors":4,"cores_each":4,""" +
+        s""""t_n_sec":${f"${t("1x4")}%.2f"},"t_4n_sec":${f"${t("4x4")}%.2f"},""" +
+        s""""efficiency":${f"$effExecPair%.3f"}},"""
     val json =
       s"""{"metric":"change_apply_events_per_sec","value":${f"$epsHigh%.0f"},"unit":"events/sec",""" +
         s""""queries":$qJson,"queries_total_sec":${f"$totalQ%.2f"},"sf":"$sfDir",""" +
         s""""ann_recall_at5":$recallJson,""" +
         s""""scaling":{"events":$events,"curve":$curveJson,""" +
-        s""""n_cpus":2,"t_n_sec":${f"${t(2)}%.2f"},"eps_n":${f"${events / t(2)}%.0f"},""" +
-        s""""n4_cpus":8,"t_4n_sec":${f"${t(8)}%.2f"},"eps_4n":${f"${events / t(8)}%.0f"},""" +
+        execJson +
+        s""""n_cpus":2,"t_n_sec":${f"${t("2")}%.2f"},"eps_n":${f"${events / t("2")}%.0f"},""" +
+        s""""n4_cpus":8,"t_4n_sec":${f"${t("8")}%.2f"},"eps_4n":${f"${events / t("8")}%.0f"},""" +
         s""""efficiency":${f"$effLowPair%.3f"},""" +
         s""""efficiency_${nLow}_to_$cpus":${f"$effHighPair%.3f"}}}"""
     println(json)
@@ -186,7 +234,8 @@ object Bench {
     // rows joined with "\n|": stripMargin strips exactly one "|" from the
     // continuation lines, the first row rides the template's own margin
     val curveMd = curve.map(c =>
-      f"| $c | ${t(c)}%.2f | ${events / t(c)}%.0f |").mkString("\n|")
+      f"| ${c.label} | ${c.master} | ${t(c.label)}%.2f | ${events / t(c.label)}%.0f |")
+      .mkString("\n|")
     val md =
       s"""# BENCH — change-apply throughput & scaling (this round)
          |
@@ -198,16 +247,18 @@ object Bench {
          |interleaved repetitions after a JIT warm-up run, minimum taken
          |(the sandbox host shows random multi-x noisy-neighbor slowdowns).
          |
-         || cores | wall (s) | events/sec |
-         ||---|---|---|
+         || config | master | wall (s) | events/sec |
+         ||---|---|---|---|
          |$curveMd
          |
          |**Scaling efficiency (T_N / T_4N) / 4:**
          |
-         || pair | efficiency |
-         ||---|---|
-         || N=2 → 4N=8 | ${f"$effLowPair%.3f"} |
-         || N=$nLow → 4N=$cpus | ${f"$effHighPair%.3f"} |
+         || pair | mode | efficiency |
+         ||---|---|---|
+         || N=2 → 4N=8 cores | threads, one JVM | ${f"$effLowPair%.3f"} |
+         || N=$nLow → 4N=$cpus cores | threads, one JVM | ${f"$effHighPair%.3f"} |${
+           if (skipExec) "" else
+             f"%n| N=1 → 4N=4 executors (4 cores each) | separate executor JVMs (local-cluster) | $effExecPair%.3f |"}
          |
          |### Why the high-core pair saturates on this box (measured)
          |

@@ -41,14 +41,22 @@ object MainIngest {
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    SparkSession.builder()
+    val b = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-cdc-ingest")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // local-cluster[N,c,mem] mode: separate executor JVMs need the repo
+    // classes on their classpath (and module opens on JDK 17)
+    sys.env.get("SPARK_GRAFT_EXEC_CP").foreach { cp =>
+      b.config("spark.executor.extraClassPath", cp)
+    }
+    sys.env.get("SPARK_GRAFT_EXEC_OPTS").foreach { o =>
+      b.config("spark.executor.extraJavaOptions", o)
+    }
+    b.getOrCreate()
   }
 
   def main(args: Array[String]): Unit = args.toList match {

@@ -130,9 +130,37 @@ object RecordCodec {
     }
   }
 
+  /** big-endian int64 at an absolute position — manual read, zero alloc
+    * (ByteBuffer.wrap allocates a wrapper object per call; the key pass
+    * calls these per event). */
+  private def longAt(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 56) | ((b(p + 1) & 0xffL) << 48) |
+      ((b(p + 2) & 0xffL) << 40) | ((b(p + 3) & 0xffL) << 32) |
+      ((b(p + 4) & 0xffL) << 24) | ((b(p + 5) & 0xffL) << 16) |
+      ((b(p + 6) & 0xffL) << 8) | (b(p + 7) & 0xffL)
+
   /** seq field at absolute position (record offset + 2) — big-endian. */
-  def seqAt(segment: Array[Byte], recOff: Int): Long =
-    ByteBuffer.wrap(segment, recOff + 2, 8).getLong
+  def seqAt(segment: Array[Byte], recOff: Int): Long = longAt(segment, recOff + 2)
+
+  /** warc_ts micros at absolute position (record offset + 10). */
+  def tsMicrosAt(segment: Array[Byte], recOff: Int): Long = longAt(segment, recOff + 10)
+
+  /** url field length at record offset + 18 (uint16 big-endian). */
+  def urlLenAt(segment: Array[Byte], recOff: Int): Int =
+    ((segment(recOff + 18) & 0xff) << 8) | (segment(recOff + 19) & 0xff)
+
+  /** absolute offset of the url bytes inside a record. */
+  def urlOffAt(recOff: Int): Int = recOff + 20
+
+  /** Seeded xxHash64 of the url bytes, computed in place (Spark's own
+    * unsafe hasher — no per-event allocation). Two calls with independent
+    * seeds form a 128-bit url identity; collision probability for a batch
+    * of n urls ≈ n²/2¹²⁹, negligible at any feasible batch size. */
+  def urlHashAt(segment: Array[Byte], recOff: Int, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      segment,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + urlOffAt(recOff),
+      urlLenAt(segment, recOff), seed)
 
   /** Key peek at an absolute record offset: (seq, tsMicros, urlBytes). */
   def peekKeyBytesAt(segment: Array[Byte], recOff: Int): (Long, Long, Array[Byte]) = {

@@ -95,11 +95,25 @@ object CdcIngest {
       }
   }
 
-  /** Decoded events as a DataFrame with lake column names. */
-  def eventsDf(spark: SparkSession, segmentPaths: Seq[String]): DataFrame =
-    decodeSegments(spark, segmentPaths).toDF()
-      .withColumnRenamed("warcTs", "warc_ts")
-      .withColumnRenamed("schemaVersion", "schema_version")
+  /** Decoded events as a DataFrame with lake column names — decodes via the
+    * native Catalyst `decode_record` expression (codegen'd; no ChangeEvent
+    * object, no Encoder round-trip — [[graft.codec.RecordDecodeExpr]]). */
+  def eventsDf(spark: SparkSession, segmentPaths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    graft.codec.RecordDecodeExpr.register(spark)
+    val parallelism = math.max(1, math.min(segmentPaths.size,
+      spark.sparkContext.defaultParallelism * 4))
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    spark.createDataset(segmentPaths)
+      .repartition(parallelism)
+      .flatMap(p => RecordCodec.readSegment(
+        SegmentCache.bytes(p, confBc.value.value, retain = false)))
+      .toDF("rec")
+      .select(expr("decode_record(rec)").as("e"))
+      .select(col("e.*"))
+  }
 
   /** Key fields + the raw record ("late materialization" row — see
     * RecordCodec.peekKey). Shuffling this instead of the fully decoded
@@ -127,16 +141,7 @@ object CdcIngest {
     spark.createDataset(segmentPaths)
       .repartition(math.max(parallelism, 1))
       .flatMap { p =>
-        val path = new org.apache.hadoop.fs.Path(p)
-        val fs = path.getFileSystem(confBc.value.value)
-        val in = fs.open(path)
-        val bytes =
-          try {
-            val len = fs.getFileStatus(path).getLen.toInt
-            val buf = new Array[Byte](len)
-            in.readFully(0, buf)
-            buf
-          } finally in.close()
+        val bytes = SegmentCache.bytes(p, confBc.value.value, retain = false)
         RecordCodec.readSegment(bytes).map { rec =>
           val (sv, op, seq, ts, url) = RecordCodec.peekKey(rec)
           RawEvent(url, seq, ts, op, sv, rec)
@@ -175,6 +180,124 @@ object CdcIngest {
     } finally in.close()
   }
 
+  /** Executor-local segment byte cache, fusing the key pass's read with the
+    * payload pass's re-read of the same segment ("fuse the duplicate
+    * segment reads" — the two passes cannot be one job because the global
+    * winner set must exist before payload filtering, but when the two
+    * tasks land on the same executor the bytes are read once). Soft
+    * references: the JVM reclaims entries under memory pressure, and a
+    * payload-pass miss (other executor, eviction) just re-reads — graceful
+    * on a real cluster where co-location is best-effort. */
+  private[ingest] object SegmentCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[Array[Byte]]]()
+    /** read-through; `retain=true` populates the cache for a later pass,
+      * `retain=false` consumes (removes) the entry. */
+    def bytes(p: String, conf: org.apache.hadoop.conf.Configuration,
+        retain: Boolean): Array[Byte] = {
+      val ref = if (retain) cache.get(p) else cache.remove(p)
+      val hit = if (ref != null) ref.get() else null
+      if (hit != null) hit
+      else {
+        val b = readFile(p, conf)
+        if (retain) cache.put(p, new java.lang.ref.SoftReference(b))
+        b
+      }
+    }
+  }
+
+  /** Per-url key aggregate from the map-side combiner: 128-bit url hash,
+    * LWW winner (ts, seq), events folded, min/max seq seen. */
+  final case class KeyAgg(h1: Long, h2: Long, wts: Long, wseq: Long,
+      n: Long, mn: Long, mx: Long)
+
+  /** Open-addressing (h1,h2)→(wts,wseq,n,mn,mx) map over parallel primitive
+    * arrays — the map-side combiner of the key pass. Zero allocation per
+    * event (no boxing, no byte-array copies: the url is identified by its
+    * in-place 128-bit hash), grows by doubling at 70% load. */
+  private[ingest] final class KeyCombiner(initialCap: Int = 1 << 14) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCap) * 2 - 1) * 2
+    private var mask = cap - 1
+    private var h1s = new Array[Long](cap)
+    private var h2s = new Array[Long](cap)
+    private var wts = new Array[Long](cap)
+    private var wseq = new Array[Long](cap)
+    private var ns = new Array[Long](cap) // 0 = empty slot
+    private var mns = new Array[Long](cap)
+    private var mxs = new Array[Long](cap)
+    private var count = 0
+
+    def add(h1: Long, h2: Long, ts: Long, seq: Long): Unit = {
+      var i = (java.lang.Long.hashCode(h1) * 0x9e3779b9) & mask
+      while (ns(i) != 0 && (h1s(i) != h1 || h2s(i) != h2)) i = (i + 1) & mask
+      if (ns(i) == 0) {
+        h1s(i) = h1; h2s(i) = h2; wts(i) = ts; wseq(i) = seq
+        ns(i) = 1L; mns(i) = seq; mxs(i) = seq
+        count += 1
+        if (count * 10L >= cap * 7L) grow()
+      } else {
+        ns(i) += 1
+        if (ts > wts(i) || (ts == wts(i) && seq > wseq(i))) { wts(i) = ts; wseq(i) = seq }
+        if (seq < mns(i)) mns(i) = seq
+        if (seq > mxs(i)) mxs(i) = seq
+      }
+    }
+
+    private def grow(): Unit = {
+      val (oh1, oh2, ots, oseq, ons, omn, omx) = (h1s, h2s, wts, wseq, ns, mns, mxs)
+      cap *= 2; mask = cap - 1
+      h1s = new Array[Long](cap); h2s = new Array[Long](cap)
+      wts = new Array[Long](cap); wseq = new Array[Long](cap)
+      ns = new Array[Long](cap); mns = new Array[Long](cap); mxs = new Array[Long](cap)
+      var j = 0
+      while (j < ons.length) {
+        if (ons(j) != 0) {
+          var i = (java.lang.Long.hashCode(oh1(j)) * 0x9e3779b9) & mask
+          while (ns(i) != 0) i = (i + 1) & mask
+          h1s(i) = oh1(j); h2s(i) = oh2(j); wts(i) = ots(j); wseq(i) = oseq(j)
+          ns(i) = ons(j); mns(i) = omn(j); mxs(i) = omx(j)
+        }
+        j += 1
+      }
+    }
+
+    def result: Iterator[KeyAgg] = (0 until cap).iterator
+      .filter(ns(_) != 0)
+      .map(i => KeyAgg(h1s(i), h2s(i), wts(i), wseq(i), ns(i), mns(i), mxs(i)))
+  }
+
+  /** Key pass with map-side combining: one task folds its segments into a
+    * [[KeyCombiner]] and emits ONE row per distinct url seen by the task —
+    * shuffle volume is bounded by per-task distinct urls, not events, and
+    * no per-event object is allocated (vs the former per-event
+    * (urlBytes, seq, ts) rows). Hot keys need no salt: the reduce side
+    * sees at most #tasks rows per url by construction. Also populates the
+    * executor-local [[SegmentCache]] for the payload pass. */
+  private def keyStats(spark: SparkSession, segmentPaths: Seq[String]): Dataset[KeyAgg] = {
+    import spark.implicits._
+    val parallelism = math.max(1, math.min(segmentPaths.size,
+      spark.sparkContext.defaultParallelism * 4))
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    spark.createDataset(segmentPaths)
+      .repartition(parallelism)
+      .mapPartitions { paths =>
+        val combiner = new KeyCombiner()
+        paths.foreach { p =>
+          val bytes = SegmentCache.bytes(p, confBc.value.value, retain = true)
+          RecordCodec.segmentOffsets(bytes).foreach { case (off, _) =>
+            combiner.add(
+              RecordCodec.urlHashAt(bytes, off, 42L),
+              RecordCodec.urlHashAt(bytes, off, 0x9747b28cL),
+              RecordCodec.tsMicrosAt(bytes, off),
+              RecordCodec.seqAt(bytes, off))
+          }
+        }
+        combiner.result
+      }
+  }
+
   /** Minimal open-addressing long set (no boxing, no per-entry objects) —
     * broadcast to executors as the winner-seq filter. */
   final class LongSet(capacityHint: Int) extends Serializable {
@@ -194,20 +317,26 @@ object CdcIngest {
     }
   }
 
-  /** Fastest bulk dedup: LWW winners are decided on a key-only pass, the
-    * winner seq-set (one entry per url in the batch) is collected to the
-    * driver and broadcast, and the payload pass filters records by seq
-    * BEFORE copying or decoding them — losers never materialize anywhere.
-    * Falls back to [[dedupViaKeys]] (broadcast-join form) when the winner
-    * set exceeds `maxCollectedKeys` (driver-memory guard for huge batches).
-    * Returns (winners df, Some((events, minSeq, maxSeq))) — batch totals
-    * come from the key pass here. */
+  /** Fastest bulk dedup: LWW winners are decided on a key-only pass (the
+    * map-side [[KeyCombiner]] — zero per-event allocation, shuffle volume
+    * bounded by per-task distinct urls), the winner seq-set (one entry per
+    * url in the batch) is collected to the driver and broadcast, and the
+    * payload pass filters records by seq BEFORE copying or decoding them —
+    * losers never materialize anywhere. The winner COUNT is known exactly
+    * from the persisted key aggregation before anything is collected
+    * (round-1's bytes/40 estimate could under-trigger); above
+    * `maxCollectedKeys` the winner seqs go to a temp parquet and the
+    * payload pass joins against it instead of a driver LongSet — the key
+    * aggregation is never recomputed. Segment bytes are read once per pass
+    * at most: the key pass populates the executor-local [[SegmentCache]]
+    * and the payload pass consumes it.
+    * Returns (winners df, Some((events, minSeq, maxSeq))). */
   def dedupViaKeyBroadcast(
       spark: SparkSession,
       segmentPaths: Seq[String],
       salt: Int,
       urlPartitions: Int,
-      maxCollectedKeys: Int = 20000000): (DataFrame, Option[(Long, Long, Long)]) = {
+      maxCollectedKeys: Int = 4000000): (DataFrame, Option[(Long, Long, Long)]) = {
     import spark.implicits._
     val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
     var tM = System.nanoTime()
@@ -216,74 +345,90 @@ object CdcIngest {
       System.err.println(f"[trace]   $ph%-16s ${(now - tM) / 1e9}%7.3f s")
       tM = now
     }
-    val keys = decodeKeys(spark, segmentPaths)
-    val ord = struct(col("ts_micros"), col("seq"))
-    val phase1 = keys
-      .withColumn("_salt", pmod(col("seq"), lit(salt.toLong)))
-      .groupBy(col("urlb"), col("_salt"))
-      .agg(max_by(struct(col("ts_micros"), col("seq")), ord).as("_w"),
-        count(lit(1)).as("_n"),
-        min(col("seq")).as("_mn"), max(col("seq")).as("_mx"))
-    val winnerKeys = phase1
-      .groupBy(col("urlb"))
-      .agg(max_by(col("_w"), col("_w")).as("_w"), sum(col("_n")).as("_n"),
-        min(col("_mn")).as("_mn"), max(col("_mx")).as("_mx"))
-      .select(col("_w.seq").as("wseq"), col("_n"), col("_mn"), col("_mx"))
-    // Upper-bound the winner count from segment bytes BEFORE running the
-    // job (records are >= 40 bytes) — `head(hugeN)` is NOT usable as the
-    // guard: a global limit funnels the result through one partition and
-    // serializes the whole key pass. A plain collect() stays parallel.
-    val conf0 = spark.sessionState.newHadoopConf()
-    val estMaxEvents = segmentPaths.map { p =>
-      new org.apache.hadoop.fs.Path(p).getFileSystem(conf0)
-        .getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
-    }.sum / 40L
-    locally {
-      if (estMaxEvents > maxCollectedKeys) {
-        (dedupViaKeys(spark, segmentPaths, salt, urlPartitions), None)
-      } else {
-        val rows = winnerKeys.as[(Long, Long, Long, Long)].collect()
-        mk("keyjob+collect")
-        var ev = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
-        val set = new LongSet(rows.length)
-        rows.foreach { case (wseq, n, rmn, rmx) =>
-          set.add(wseq); ev += n
-          if (rmn < mn) mn = rmn
-          if (rmx > mx) mx = rmx
-        }
-        val totals = (ev, mn, mx)
-        val setBc = spark.sparkContext.broadcast(set)
-        val confBc = spark.sparkContext.broadcast(
-          new org.apache.spark.util.SerializableConfiguration(
-            spark.sessionState.newHadoopConf()))
-        val parallelism = math.max(1, math.min(segmentPaths.size,
-          spark.sparkContext.defaultParallelism * 4))
-        val decoded = spark.createDataset(segmentPaths)
-          .repartition(parallelism)
-          .flatMap { p =>
-            val bytes = readFile(p, confBc.value.value)
-            val filter = setBc.value
-            RecordCodec.segmentOffsets(bytes).flatMap { case (off, _) =>
-              // zero-copy: test the seq in place; only winners are decoded
-              if (!filter.contains(RecordCodec.seqAt(bytes, off))) None
-              else {
-                val e = RecordCodec.decodeAt(bytes, off)
-                Some(FullWinner(e.op, e.seq, e.url, e.warcTs, e.html, e.text,
-                  e.lang, e.schemaVersion, e.fetch_status, e.content_len, 1L))
-              }
+    val winnerKeys = keyStats(spark, segmentPaths)
+      .groupBy(col("h1"), col("h2"))
+      .agg(max_by(struct(col("wts"), col("wseq")), struct(col("wts"), col("wseq"))).as("_w"),
+        sum(col("n")).as("_n"), min(col("mn")).as("_mn"), max(col("mx")).as("_mx"))
+      .select(col("_w.wseq").as("wseq"), col("_n"), col("_mn"), col("_mx"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nWinners = winnerKeys.count() // exact, from the key-pass statistics
+    mk("keyjob+count")
+
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val parallelism = math.max(1, math.min(segmentPaths.size,
+      spark.sparkContext.defaultParallelism * 4))
+
+    /** payload pass: consume cached segment bytes, keep rows whose seq is
+      * in the broadcast winner set, decode only those. The broadcast is
+      * dereferenced INSIDE the task (a `set.contains` closure made on the
+      * driver would serialize the whole set into every task binary). */
+    def decodeWinners(setBc: org.apache.spark.broadcast.Broadcast[LongSet]): DataFrame =
+      spark.createDataset(segmentPaths)
+        .repartition(parallelism)
+        .flatMap { p =>
+          val bytes = SegmentCache.bytes(p, confBc.value.value, retain = false)
+          val keep = setBc.value
+          RecordCodec.segmentOffsets(bytes).flatMap { case (off, _) =>
+            // zero-copy: test the seq in place; only winners are decoded
+            if (!keep.contains(RecordCodec.seqAt(bytes, off))) None
+            else {
+              val e = RecordCodec.decodeAt(bytes, off)
+              Some(FullWinner(e.op, e.seq, e.url, e.warcTs, e.html, e.text,
+                e.lang, e.schemaVersion, e.fetch_status, e.content_len, 1L))
             }
-          }.toDF()
-        val payloadCols = decoded.columns.filterNot(c => c == "_n" || c == "url")
-        val payload = struct(payloadCols.map(col).toSeq: _*)
-        val winners = decoded
-          .repartition(urlPartitions, col("url"))
-          .groupBy(col("url"))
-          .agg(max_by(payload, struct(col("warc_ts"), col("seq"))).as("_w"),
-            max(col("_n")).as("_n"))
-          .select(col("url") +: payloadCols.map(c => col(s"_w.$c").as(c)) :+ col("_n"): _*)
-        mk("plan-winners")
-        (winners, Some(totals))
+          }
+        }.toDF()
+
+    def collapse(decoded: DataFrame): DataFrame = {
+      val payloadCols = decoded.columns.filterNot(c => c == "_n" || c == "url")
+      val payload = struct(payloadCols.map(col).toSeq: _*)
+      decoded
+        .repartition(urlPartitions, col("url"))
+        .groupBy(col("url"))
+        .agg(max_by(payload, struct(col("warc_ts"), col("seq"))).as("_w"),
+          max(col("_n")).as("_n"))
+        .select(col("url") +: payloadCols.map(c => col(s"_w.$c").as(c)) :+ col("_n"): _*)
+    }
+
+    if (nWinners <= maxCollectedKeys) {
+      val rows = winnerKeys.as[(Long, Long, Long, Long)].collect()
+      winnerKeys.unpersist()
+      mk("collect")
+      var ev = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      val set = new LongSet(rows.length)
+      rows.foreach { case (wseq, n, rmn, rmx) =>
+        set.add(wseq); ev += n
+        if (rmn < mn) mn = rmn
+        if (rmx > mx) mx = rmx
       }
+      val setBc = spark.sparkContext.broadcast(set)
+      val winners = collapse(decodeWinners(setBc))
+      mk("plan-winners")
+      (winners, Some((ev, mn, mx)))
+    } else {
+      // huge-batch fallback: relational join of the raw events against the
+      // persisted winner-seq aggregation — bounded driver memory, key
+      // aggregation reused (stays cached until LRU eviction; at ~32B/row
+      // that is the price of not recomputing the key pass)
+      val totals = winnerKeys
+        .agg(sum(col("_n")), min(col("_mn")), max(col("_mx"))).head()
+      mk("totals")
+      val raw = decodeRaw(spark, segmentPaths)
+      val winnersRaw = raw.join(winnerKeys.select(col("wseq")),
+        col("seq") === col("wseq"))
+      val decoded = winnersRaw.select(col("rec"), lit(1L).as("_n"))
+        .as[(Array[Byte], Long)].mapPartitions { it =>
+          it.map { case (rec, n) =>
+            val e = RecordCodec.decode(rec)
+            FullWinner(e.op, e.seq, e.url, e.warcTs, e.html, e.text, e.lang,
+              e.schemaVersion, e.fetch_status, e.content_len, n)
+          }
+        }.toDF()
+      val winners = collapse(decoded)
+      mk("plan-winners")
+      (winners, Some((totals.getLong(0), totals.getLong(1), totals.getLong(2))))
     }
   }
 

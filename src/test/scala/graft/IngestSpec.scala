@@ -160,6 +160,22 @@ class IngestSpec extends SparkTestBase {
     assert(snap2.metrics("touchedBuckets") == 1L, "only one bucket touched")
   }
 
+  test("dedup fallback (winner count over cap) matches the broadcast path") {
+    val spec = FeedSpec(seed = 71L, numEvents = 3000, numUrls = 500,
+      eventsPerSegment = 600, evolveAtEvent = 1500, duplicateRatio = 0.1)
+    val paths = graft.feed.FeedGen.writeSegments(spec, tmpDir("ddfb")).map(_.toString)
+    val (a, at) = CdcIngest.dedupViaKeyBroadcast(spark, paths, 16, 8)
+    // cap of 1 forces the relational-join fallback; results must be equal
+    val (b, bt) = CdcIngest.dedupViaKeyBroadcast(spark, paths, 16, 8,
+      maxCollectedKeys = 1)
+    val ca = a.drop("_n"); val cb = b.drop("_n")
+    assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,
+      "fallback winners differ from broadcast winners")
+    assert(at.map(t => (t._2, t._3)) == bt.map(t => (t._2, t._3)),
+      "seq ranges differ")
+    assert(at.get._1 == bt.get._1, "event totals differ")
+  }
+
   test("extreme skew: 99% of events on one domain still dedups correctly") {
     val spec = FeedSpec(seed = 23L, numEvents = 4000, numUrls = 200,
       hotDomainWeight = 0.99, eventsPerSegment = 1000)
