@@ -750,6 +750,50 @@ object CdcIngest {
       lineage = lineageRows, metrics = metrics))
   }
 
+  /** Compact the table: rewrite every bucket's files into one file per
+    * bucket (Iceberg `rewrite_data_files` analog — trickle batches leave a
+    * long tail of small files that inflate scan/planning cost at scale),
+    * optionally dropping tombstones older than `tombstoneBefore`. Dropping
+    * a tombstone is safe ONLY under the caller's late-data contract: no
+    * future event may carry warc_ts earlier than the horizon (the same
+    * promise a streaming watermark makes) — an unbounded-late feed must
+    * pass None and keep its tombstones. Logical content is otherwise
+    * unchanged; committed as a normal snapshot (same watermark), so a
+    * crashed compaction is invisible and a replayed one idempotent. */
+  def compact(
+      spark: SparkSession,
+      table: LakeTable,
+      tombstoneBefore: Option[java.sql.Timestamp] = None): Snapshot = {
+    val snap = table.currentSnapshot()
+    val physical = StructType(snap.schema.fields ++ Array(
+      StructField(LakeTable.SeqCol, LongType), StructField(LakeTable.DeletedCol, BooleanType)))
+    val all =
+      if (snap.files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physical)
+      else spark.read.schema(physical)
+        .parquet(snap.files.map(f => table.root.resolve(f.path).toString): _*)
+    val kept = tombstoneBefore match {
+      case Some(h) => all.filter(!col(LakeTable.DeletedCol) || col("warc_ts") >= lit(h))
+      case None    => all
+    }
+    val tmpDir = table.root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    kept
+      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(snap.numBuckets))
+      .repartition(snap.numBuckets, col("url")) // partitioning == bucket id
+      .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
+      .parquet(tmpDir.toString)
+    val files = moveDataFiles(spark, table, tmpDir, snap.version + 1)
+    table.commit(Snapshot(
+      version = snap.version + 1, batchId = s"compact-v${snap.version}",
+      parentVersion = snap.version, watermarkSegment = snap.watermarkSegment,
+      schemaJson = snap.schemaJson, numBuckets = snap.numBuckets,
+      files = files, lineage = Seq.empty,
+      metrics = Map[String, Any](
+        "events" -> 0L, "upserts" -> 0L, "deletes" -> 0L,
+        "compactedFrom" -> snap.files.size.toLong,
+        "compactedTo" -> files.size.toLong)))
+  }
+
   /** Driver-side header peek: (schema-version hint, file size). */
   private def segmentHint(
       path: String, conf: org.apache.hadoop.conf.Configuration): (Option[Int], Long) = {

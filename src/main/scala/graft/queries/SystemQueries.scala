@@ -52,6 +52,99 @@ object SystemQueries {
     s.read.parquet(sinkDir)
   }
 
+  // ---- stateful streaming: flatMapGroupsWithState sessionization ----
+
+  /** Per-user open-session state carried across micro-batches. */
+  final case class SessionState(startMicros: Long, endMicros: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+  // NOT private: Janino-generated encoder code cannot call accessors of a
+  // private nested case class (hard CompileException in the stream stage)
+  final case class SessEvent(user_id: Long, tsMicros: Long, event_id: Long)
+
+  private val SessionGapMicros: Long = 6L * 3600 * 1000000 // 6h inactivity gap
+
+  /** Sessionize the events table with custom state
+    * (`flatMapGroupsWithState`, SURVEY §2.10 "stateful ops"): a session
+    * CLOSES when the next event of the same user arrives more than the gap
+    * later; closed sessions are emitted in append mode, the open tail stays
+    * in the state store (and is never emitted — the oracle mirrors that by
+    * dropping each user's last session). The input is staged as 4
+    * time-range chunks drained one file per micro-batch, so state
+    * genuinely crosses micro-batch boundaries. */
+  private def strmSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the parquet ts is TIMESTAMP_NTZ — normalize to session-TZ (UTC)
+    // timestamp so epoch casts and the Timestamp encoder both apply
+    val src = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
+    // stage as 4 single-file chunks split on ts so per-user order holds
+    // across micro-batches (within a batch the group iterator is sorted)
+    val bounds = src.agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
+      .head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1) + 1)
+    val stage = Files.createTempDirectory("sessrc")
+    val span = math.max(1L, (hi - lo) / 4)
+    (0 until 4).foreach { k =>
+      val from = lo + k * span
+      val until = if (k == 3) hi else lo + (k + 1) * span
+      val chunkDir = stage.resolve(f"chunk-$k%02d")
+      src.filter(col("ts").cast("long") >= from && col("ts").cast("long") < until)
+        .orderBy(col("ts"), col("event_id")).coalesce(1)
+        .write.parquet(chunkDir.toString)
+      // ascending mtimes pin the delivery order chunk-0..chunk-3
+      val parts = Files.list(chunkDir).iterator()
+      while (parts.hasNext) {
+        val p = parts.next()
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + k * 60000L))
+      }
+    }
+    val sch = src.schema
+    val sinkDir = Files.createTempDirectory("sessout").toString
+    val q = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/chunk-*")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .map { case (uid, ts, eid) =>
+        SessEvent(uid, ts.getTime * 1000 + (ts.getNanos / 1000) % 1000, eid)
+      }
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[SessionState]) =>
+          val evs = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          val out = Seq.newBuilder[SessionOut]
+          var cur = state.getOption
+          evs.foreach { e =>
+            cur match {
+              case Some(st) if e.tsMicros - st.endMicros > SessionGapMicros =>
+                out += SessionOut(uid,
+                  graft.codec.RecordCodec.microsToTimestamp(st.startMicros),
+                  graft.codec.RecordCodec.microsToTimestamp(st.endMicros), st.n)
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+              case Some(st) =>
+                cur = Some(st.copy(
+                  endMicros = math.max(st.endMicros, e.tsMicros), n = st.n + 1))
+              case None =>
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("sessck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
+        batch.toDF().write.mode("append").parquet(sinkDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir)
+  }
+
   // ---- CDC engine through the harness (deterministic synthesized feed) ----
   private val CdcSpec = FeedSpec(seed = 42L, numEvents = 4000, numUrls = 400,
     eventsPerSegment = 1000, evolveAtEvent = 2000)
@@ -104,6 +197,7 @@ object SystemQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "strm_hourly" -> ((s, dir) => strmHourly(s, dir)),
+    "strm_sessions" -> ((s, dir) => strmSessions(s, dir)),
 
     // multimodal: binary media column → batched typed decode (stub codec)
     "mm_media_features" -> ((s, dir) => {
@@ -146,6 +240,23 @@ object SystemQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "strm_sessions" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |f AS (SELECT *,
+        |  CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 21600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (SELECT *,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |g AS (SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |        COUNT(*) AS n_events
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id, session_start, session_end, n_events FROM g
+        |WHERE sid < (SELECT MAX(sid) FROM g g2 WHERE g2.user_id = g.user_id)""".stripMargin,
     "mm_media_features" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

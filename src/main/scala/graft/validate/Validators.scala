@@ -49,6 +49,60 @@ object Validators {
     required.filterNot(c => have.contains(c.toLowerCase))
   }
 
+  /** Combined validation report (data_validator.py:19-96 ValidationResult
+    * analog): typed errors/warnings + row count + schema metrics. */
+  final case class ValidationReport(
+      recordCount: Long,
+      expectedCount: Option[Long],
+      errors: Seq[String],
+      warnings: Seq[String],
+      columnNulls: Map[String, Long],
+      schema: Map[String, String]) {
+    def passed: Boolean = errors.isEmpty
+    def summary: String = {
+      val status = if (passed) "PASSED" else "FAILED"
+      (Seq(s"validation $status: $recordCount rows" +
+          expectedCount.map(e => s" (expected $e)").getOrElse("")) ++
+        errors.map("  error: " + _) ++ warnings.map("  warning: " + _))
+        .mkString("\n")
+    }
+  }
+
+  /** One-call validation (data_validator.py:131-170 `validate` parity, but
+    * count + all null checks run in a single Spark job): expected count,
+    * required columns, non-null columns (errors), plus a null-ratio
+    * warning sweep over every other column. */
+  def validate(
+      df: DataFrame,
+      expectedCount: Option[Long] = None,
+      requiredColumns: Seq[String] = Seq.empty,
+      nonNullColumns: Seq[String] = Seq.empty,
+      tolerancePct: Double = 0.0,
+      warnNullPct: Double = 50.0): ValidationReport = {
+    val errors = Seq.newBuilder[String]
+    val warnings = Seq.newBuilder[String]
+    val missing = missingColumns(df, requiredColumns)
+    missing.foreach(c => errors += s"required column missing: $c")
+    val (rows, nulls) = nullProfile(df)
+    expectedCount.foreach { e =>
+      val chk = CountCheck(e, rows, tolerancePct)
+      if (!chk.passed) errors += s"record count $rows != expected $e" +
+        (if (tolerancePct > 0) s" (±$tolerancePct%)" else "")
+    }
+    val have = df.columns.map(c => c.toLowerCase -> c).toMap
+    nonNullColumns.flatMap(c => have.get(c.toLowerCase)).foreach { c =>
+      val n = nulls.getOrElse(c, 0L)
+      if (n > 0) errors += s"column $c has $n null/blank values"
+    }
+    if (rows > 0) nulls.foreach { case (c, n) =>
+      val pct = n * 100.0 / rows
+      if (pct > warnNullPct && !nonNullColumns.exists(_.equalsIgnoreCase(c)))
+        warnings += f"column $c is $pct%.1f%% null"
+    }
+    ValidationReport(rows, expectedCount, errors.result(), warnings.result(),
+      nulls, df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap)
+  }
+
   /** Order-independent whole-table digest — the correct form of the
     * reference's md5-of-first-row checksum (data_validator.py:266-290, whose
     * intent was a table fingerprint): sum + xor of per-row xxhash64 over all

@@ -176,6 +176,45 @@ class IngestSpec extends SparkTestBase {
     assert(at.get._1 == bt.get._1, "event totals differ")
   }
 
+  test("compaction: fewer files, identical content; tombstone GC by horizon") {
+    import spark.implicits._
+    val spec = FeedSpec(seed = 79L, numEvents = 2000, numUrls = 300,
+      eventsPerSegment = 200, deleteRatio = 0.2)
+    val feed = mkFeed(spec)
+    val table = LakeTable.create(tmpDir("ctab"), CdcIngest.PagesSchemaV1, 8)
+    // 1 segment per batch → 10 commits → many small files per bucket
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 1))
+    val before = table.currentSnapshot()
+    // byte-array columns compare by reference in Row — hash them for set compare
+    def content(): Set[org.apache.spark.sql.Row] = table.read(spark)
+      .select(col("url"), col("warc_ts"), md5(col("html")).as("html_fp"),
+        col("text"), col("lang"))
+      .collect().toSet
+    val contentBefore = content()
+    val snap1 = CdcIngest.compact(spark, table)
+    // the MERGE already rewrites whole buckets (1 file/bucket), so the
+    // count stays ≤ numBuckets; compaction must never increase it
+    assert(snap1.files.size <= 8, s"expected ≤1 file/bucket, got ${snap1.files.size}")
+    assert(snap1.files.size <= before.files.size)
+    assert(snap1.watermarkSegment == before.watermarkSegment)
+    assert(content() == contentBefore, "content must not change")
+    assertMatchesOracle(table, spec)
+    // tombstones survive a plain compact…
+    val physical = LakeTable.SeqCol
+    def tombstones(): Long = spark.read
+      .schema(table.physicalSchema(table.currentSnapshot()))
+      .parquet(table.currentSnapshot().files.map(f =>
+        table.root.resolve(f.path).toString): _*)
+      .filter(col(LakeTable.DeletedCol)).count()
+    val nTomb = tombstones()
+    assert(nTomb > 0, "feed with deletes must leave tombstones")
+    // …and are dropped by a horizon in the future of all data
+    CdcIngest.compact(spark, table,
+      tombstoneBefore = Some(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
+    assert(tombstones() == 0)
+    assert(content() == contentBefore)
+  }
+
   test("extreme skew: 99% of events on one domain still dedups correctly") {
     val spec = FeedSpec(seed = 23L, numEvents = 4000, numUrls = 200,
       hotDomainWeight = 0.99, eventsPerSegment = 1000)

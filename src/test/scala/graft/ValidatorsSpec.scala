@@ -62,6 +62,23 @@ class ValidatorsSpec extends SparkTestBase {
     assert(!Validators.rowsetEqual(a, c))
   }
 
+  test("combined validate(): errors, warnings, single-pass metrics") {
+    val r = Validators.validate(df,
+      expectedCount = Some(5), requiredColumns = Seq("id", "s1"),
+      nonNullColumns = Seq("id"))
+    assert(r.passed && r.recordCount == 5)
+    assert(r.schema("id") == "bigint")
+    val bad = Validators.validate(df,
+      expectedCount = Some(7), requiredColumns = Seq("nope"),
+      nonNullColumns = Seq("s1"), warnNullPct = 30.0)
+    assert(!bad.passed)
+    assert(bad.errors.exists(_.contains("nope")))
+    assert(bad.errors.exists(_.contains("count 5 != expected 7")))
+    assert(bad.errors.exists(_.contains("s1 has 1 null")))
+    assert(bad.warnings.exists(_.contains("s2")), s"warnings: ${bad.warnings}")
+    assert(bad.summary.contains("FAILED"))
+  }
+
   // ---- SchemaValidator (schema_validator.py:101-335 parity) ----
 
   import org.apache.spark.sql.types._
