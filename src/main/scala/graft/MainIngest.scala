@@ -28,6 +28,7 @@ object MainIngest {
         |  MainIngest init   <tableDir> [numBuckets]
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets]
         |  MainIngest stream <tableDir> <feedDir> [checkpointDir]
+        |  MainIngest compact <tableDir> [tombstoneHorizonIso]
         |  MainIngest export <tableDir> <outDir> [json|csv|parquet] [--checksums]
         |  MainIngest show   <tableDir>
         |  MainIngest run      <registry.json> [manifestPath]
@@ -107,6 +108,19 @@ object MainIngest {
       val snap = table.currentSnapshot()
       println(s"streamed $n micro-batches; table now at v${snap.version}, " +
         s"segment ${snap.watermarkSegment}")
+      spark.stop()
+
+    // per-bucket file rewrite + optional tombstone GC (late-data horizon)
+    case "compact" :: tableDir :: rest =>
+      val horizon = rest.headOption.map(h =>
+        java.sql.Timestamp.from(java.time.Instant.parse(h)))
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      val before = table.currentSnapshot().files.size
+      val snap = CdcIngest.compact(spark, table, horizon)
+      println(s"compacted $before -> ${snap.files.size} files at v${snap.version}" +
+        horizon.map(h => s" (tombstones before $h dropped)").getOrElse(""))
       spark.stop()
 
     // multi-format snapshot export + run manifest (reference K1-K3/K7 parity)
