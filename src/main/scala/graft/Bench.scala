@@ -51,9 +51,8 @@ object Bench {
     if (cfg.isExecutorMode) {
       // executor JVMs are launched fresh by the worker: they need the repo
       // classes on the classpath and a sane heap (the driver's -Xmx does
-      // not apply). NO AlwaysPreTouch here — a pre-touched multi-GB heap
-      // per short-lived executor poisons the timing with startup cost.
-      // 5g + AlwaysPreTouch: the first executor-mode measurement ran 2g
+      // not apply).
+      // The first executor-mode measurement ran 2g
       // heaps and spent 44-155s per run in GC (vs 3s at 1x4 on a quiet
       // host) — executor heap must be comparable per-core to the thread
       // mode's 16g/32. Pre-touch cost lands in the untimed warm-up run.
@@ -168,8 +167,19 @@ object Bench {
       val events = snaps.map(_.metrics.get("events")
         .map(_.toString.toDouble.toLong).getOrElse(0L)).sum
       IngestSample(events, secs, tally.cpuNanos.get / 1e9, tally.gcMillis.get / 1e3)
-    } finally spark.stop()
+    } finally stopQuietly(spark)
   }
+
+  /** `SparkContext.stop()` in local-cluster mode intermittently throws
+    * ("Could not find AppClient") during teardown — a failed teardown AFTER
+    * a successful measurement is not a failed measurement, and it killed
+    * the whole round-2 driver bench (BENCH_r02.json was rc=1 with zero
+    * metrics). Never let teardown propagate. */
+  private def stopQuietly(spark: SparkSession): Unit =
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] ignoring session teardown failure: $e")
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -204,7 +214,10 @@ object Bench {
             q -> pairs(q).intersect(brute).size.toDouble / brute.size).toMap
         } catch { case e: Throwable => System.err.println(s"[bench] recall: $e") }
         timed
-      } finally sQ.stop()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] query corpus FAILED (continuing to scaling): $e")
+        Seq.empty
+      } finally stopQuietly(sQ)
 
     // ---- 2. change-apply throughput at N and 4N cores, same input ----
     val feedSpec = FeedSpec(seed = 42L, numEvents = 4000000, numUrls = 400000,
@@ -242,87 +255,102 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // (cfg label, sample, probe-noise seconds around the rep)
     var samples = Vector.empty[(String, IngestSample, Double)]
-    timedIngest(threadCfgs.last, warmDir, buckets, None) // JIT warm-up, untimed
+    // every rep is individually crash-guarded: one dead config (e.g. an
+    // executor-mode launch failure) must drop out of `best`, not kill the
+    // run — the round-2 driver bench died with zero metrics on one teardown
+    try timedIngest(threadCfgs.last, warmDir, buckets, None) // JIT warm-up, untimed
+    catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: $e") }
     probeSeconds() // probe JIT warm-up
-    for (_ <- 1 to reps; c <- curve) {
+    for (rep <- 1 to reps; c <- curve) {
       val noiseBefore = probeSeconds()
       // executor mode gets a per-session warm-up: fresh executor JVMs must
       // register and JIT before the timed run
-      val r = timedIngest(c, feedDir, buckets,
-        if (c.isExecutorMode) Some(warmDir) else None)
-      // probe on BOTH sides of the run: a noise window can start mid-run,
-      // which only the trailing probe sees
-      val noise = math.max(noiseBefore, probeSeconds())
-      System.err.println(
-        f"[bench] cfg=${c.label}%-4s wall=${r.secs}%7.2f s " +
-          f"taskCpu=${r.taskCpuSecs}%7.2f s gc=${r.gcSecs}%5.2f s probe=$noise%5.2f s")
-      samples :+= ((c.label, r, noise))
+      try {
+        val r = timedIngest(c, feedDir, buckets,
+          if (c.isExecutorMode) Some(warmDir) else None)
+        // probe on BOTH sides of the run: a noise window can start mid-run,
+        // which only the trailing probe sees
+        val noise = math.max(noiseBefore, probeSeconds())
+        System.err.println(
+          f"[bench] cfg=${c.label}%-4s wall=${r.secs}%7.2f s " +
+            f"taskCpu=${r.taskCpuSecs}%7.2f s gc=${r.gcSecs}%5.2f s probe=$noise%5.2f s")
+        samples :+= ((c.label, r, noise))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cfg=${c.label} rep=$rep FAILED (dropped): $e")
+      }
     }
     // discard reps measured inside a detected noise window (probe >30%
     // above the quietest probe of the whole session), unless that would
     // empty a config's sample set
-    val probeMin = samples.map(_._3).min
-    val best: Map[String, IngestSample] = curve.map { c =>
+    val probeMin = if (samples.nonEmpty) samples.map(_._3).min else 0.0
+    val best: Map[String, IngestSample] = curve.flatMap { c =>
       val all = samples.filter(_._1 == c.label)
       val clean = all.filter(_._3 <= probeMin * 1.3)
       val use = if (clean.nonEmpty) clean else all
       if (clean.size < all.size)
         System.err.println(s"[bench] cfg=${c.label}: dropped " +
           s"${all.size - clean.size}/${all.size} noisy reps")
-      c.label -> use.minBy(_._2.secs)._2
+      if (use.isEmpty) None else Some(c.label -> use.minBy(_._2.secs)._2)
     }.toMap
-    require(best.values.map(_.events).toSet.size == 1,
-      s"same input must apply same events at every parallelism: $best")
-    // total accessors: labels absent under a filtered dev curve yield NaN
-    // (the emitted JSON is only consumed by the driver on full runs)
-    def t(label: String): Double = best.get(label).map(_.secs).getOrElse(Double.NaN)
-    def cpuOf(label: String): Double =
-      best.get(label).map(_.taskCpuSecs).getOrElse(Double.NaN)
-    val events = best.values.map(_.events).max
-    def eff(n: String, n4: String, factor: Double = 4.0): Double =
-      (t(n) / t(n4)) / factor
+    if (best.values.map(_.events).toSet.size > 1)
+      System.err.println("[bench] WARNING: event totals differ across configs " +
+        s"(same input must apply same events): $best")
+    // Option accessors: a label can be absent (filtered dev curve, or all
+    // its reps crashed) — absent values emit JSON null, never NaN
+    def t(label: String): Option[Double] = best.get(label).map(_.secs)
+    def cpuOf(label: String): Option[Double] = best.get(label).map(_.taskCpuSecs)
+    /** JSON number or null; NaN/Inf (e.g. 0-valued denominators) → null. */
+    def j(o: Option[Double], decimals: Int = 2): String =
+      o.filter(d => !d.isNaN && !d.isInfinite)
+        .map(d => String.format(s"%.${decimals}f", Double.box(d))).getOrElse("null")
+    def ratio(a: Option[Double], b: Option[Double]): Option[Double] =
+      for (x <- a; y <- b) yield x / y
+    val events = if (best.isEmpty) 0L else best.values.map(_.events).max
+    def eps(label: String): Option[Double] = t(label).map(events / _)
+    def eff(n: String, n4: String, factor: Double = 4.0): Option[Double] =
+      ratio(t(n), t(n4)).map(_ / factor)
     val effLowPair = eff("2", "8")
     val effHighPair = eff(nLow.toString, cpus.toString, cpus.toDouble / nLow)
-    val effExecPair = if (skipExec) 0.0 else eff("1x2", "4x2")
-    val effExecPairHigh = if (skipExec) 0.0 else eff("1x4", "4x4")
-    val epsHigh = events / t(cpus.toString)
+    val effExecPair = eff("1x2", "4x2")
+    val effExecPairHigh = eff("1x4", "4x4")
+    val epsHigh = eps(cpus.toString)
 
     // ---- emit ----
     val qJson = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
     val totalQ = results.map(_._2).sum
     val curveJson = curve.map(c =>
-      s""""${c.label}":{"t_sec":${f"${t(c.label)}%.2f"},"eps":${f"${events / t(c.label)}%.0f"},""" +
-        s""""task_cpu_sec":${f"${cpuOf(c.label)}%.1f"}}""")
+      s""""${c.label}":{"t_sec":${j(t(c.label))},"eps":${j(eps(c.label), 0)},""" +
+        s""""task_cpu_sec":${j(cpuOf(c.label), 1)}}""")
       .mkString("{", ",", "}")
     val recallJson = annRecall.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val execJson = if (skipExec) "" else
       s""""executor_pair":{"n_executors":1,"n4_executors":4,"cores_each":2,""" +
-        s""""t_n_sec":${f"${t("1x2")}%.2f"},"t_4n_sec":${f"${t("4x2")}%.2f"},""" +
-        s""""efficiency":${f"$effExecPair%.3f"},""" +
-        s""""cpu_inflation_4x":${f"${cpuOf("4x2") / cpuOf("1x2")}%.2f"}},""" +
+        s""""t_n_sec":${j(t("1x2"))},"t_4n_sec":${j(t("4x2"))},""" +
+        s""""efficiency":${j(effExecPair, 3)},""" +
+        s""""cpu_inflation_4x":${j(ratio(cpuOf("4x2"), cpuOf("1x2")))}},""" +
       s""""executor_pair_4core":{"n_executors":1,"n4_executors":4,"cores_each":4,""" +
-        s""""t_n_sec":${f"${t("1x4")}%.2f"},"t_4n_sec":${f"${t("4x4")}%.2f"},""" +
-        s""""efficiency":${f"$effExecPairHigh%.3f"},""" +
-        s""""cpu_inflation_4x":${f"${cpuOf("4x4") / cpuOf("1x4")}%.2f"}},"""
+        s""""t_n_sec":${j(t("1x4"))},"t_4n_sec":${j(t("4x4"))},""" +
+        s""""efficiency":${j(effExecPairHigh, 3)},""" +
+        s""""cpu_inflation_4x":${j(ratio(cpuOf("4x4"), cpuOf("1x4")))}},"""
     val json =
-      s"""{"metric":"change_apply_events_per_sec","value":${f"$epsHigh%.0f"},"unit":"events/sec",""" +
+      s"""{"metric":"change_apply_events_per_sec","value":${j(epsHigh, 0)},"unit":"events/sec",""" +
         s""""queries":$qJson,"queries_total_sec":${f"$totalQ%.2f"},"sf":"$sfDir",""" +
         s""""ann_recall_at5":$recallJson,""" +
         s""""scaling":{"events":$events,"curve":$curveJson,""" +
         execJson +
-        s""""n_cpus":2,"t_n_sec":${f"${t("2")}%.2f"},"eps_n":${f"${events / t("2")}%.0f"},""" +
-        s""""n4_cpus":8,"t_4n_sec":${f"${t("8")}%.2f"},"eps_4n":${f"${events / t("8")}%.0f"},""" +
-        s""""efficiency":${f"$effLowPair%.3f"},""" +
-        s""""efficiency_${nLow}_to_$cpus":${f"$effHighPair%.3f"}}}"""
+        s""""n_cpus":2,"t_n_sec":${j(t("2"))},"eps_n":${j(eps("2"), 0)},""" +
+        s""""n4_cpus":8,"t_4n_sec":${j(t("8"))},"eps_4n":${j(eps("8"), 0)},""" +
+        s""""efficiency":${j(effLowPair, 3)},""" +
+        s""""efficiency_${nLow}_to_$cpus":${j(effHighPair, 3)}}}"""
     println(json)
 
     // ---- human-readable scaling report ----
     // rows joined with "\n|": stripMargin strips exactly one "|" from the
     // continuation lines, the first row rides the template's own margin
     val curveMd = curve.map(c =>
-      f"| ${c.label} | ${c.master} | ${t(c.label)}%.2f | ${events / t(c.label)}%.0f | ${cpuOf(c.label)}%.1f |")
+      s"| ${c.label} | ${c.master} | ${j(t(c.label))} | ${j(eps(c.label), 0)} | ${j(cpuOf(c.label), 1)} |")
       .mkString("\n|")
     val md =
       s"""# BENCH — change-apply throughput & scaling (this round)
@@ -347,11 +375,11 @@ object Bench {
          |
          || pair | mode | efficiency |
          ||---|---|---|
-         || N=2 → 4N=8 cores | threads, one JVM | ${f"$effLowPair%.3f"} |
-         || N=$nLow → 4N=$cpus cores | threads, one JVM | ${f"$effHighPair%.3f"} |${
+         || N=2 → 4N=8 cores | threads, one JVM | ${j(effLowPair, 3)} |
+         || N=$nLow → 4N=$cpus cores | threads, one JVM | ${j(effHighPair, 3)} |${
            if (skipExec) "" else
-             f"%n| N=1 → 4N=4 executors (2 cores each) | separate executor JVMs (local-cluster) | $effExecPair%.3f |" +
-             f"%n| N=1 → 4N=4 executors (4 cores each) | separate executor JVMs (local-cluster) | $effExecPairHigh%.3f |"}
+             f"%n| N=1 → 4N=4 executors (2 cores each) | separate executor JVMs (local-cluster) | ${j(effExecPair, 3)} |" +
+             f"%n| N=1 → 4N=4 executors (4 cores each) | separate executor JVMs (local-cluster) | ${j(effExecPairHigh, 3)} |"}
          |
          |### Executor mode: what was engine overhead, and what the box truly caps
          |
