@@ -38,24 +38,23 @@ import graft.lake.LakeTable
   */
 object StreamingIngest {
 
-  private val SegName = raw".*segment-(\d+)\.bin".r
+  private val SegName = raw"segment-(\d+)\.bin".r
 
-  import scala.jdk.CollectionConverters._
-
-  /** List `feedDir` for WAL segments, driver-side (cheap: one readdir). */
-  private def listSegments(feedDir: String): Seq[(Long, String)] = {
-    val dir = java.nio.file.Paths.get(stripScheme(feedDir))
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asScala.flatMap { p =>
-        p.toString match {
-          case SegName(id) => Some(id.toLong -> p.toString)
-          case _           => None
-        }
-      }.toVector.sortBy(_._1)
-      finally s.close()
-    }
+  /** List `feedDir` for WAL segments, driver-side (cheap: one listStatus).
+    * Goes through the Hadoop FileSystem API so any scheme Spark can read
+    * (file:, hdfs:, s3a:, …) lists correctly — a java.nio listing would
+    * silently see an empty feed for non-local schemes. */
+  private def listSegments(
+      spark: SparkSession, feedDir: String): Seq[(Long, String)] = {
+    val path = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case SegName(id) => Some(id.toLong -> st.getPath.toString)
+        case _           => None
+      }
+    }.sortBy(_._1)
   }
 
   /** Run a streaming ingest over `feedDir`. With [[Trigger.AvailableNow]]
@@ -115,14 +114,11 @@ object StreamingIngest {
       feedDir: String,
       config: IngestConfig): Boolean = {
     val watermark = table.currentSnapshot().watermarkSegment
-    val pending = listSegments(feedDir).dropWhile(_._1 <= watermark)
+    val pending = listSegments(spark, feedDir).dropWhile(_._1 <= watermark)
     val run = pending.zipWithIndex
       .takeWhile { case ((id, _), i) => id == watermark + 1 + i }
       .map(_._1)
     if (run.nonEmpty) { CdcIngest.applyBatch(spark, table, run, config); true }
     else false
   }
-
-  private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
 }

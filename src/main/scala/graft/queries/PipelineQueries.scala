@@ -62,6 +62,164 @@ object PipelineQueries {
     * self-join (k docs sharing a shingle → k² candidate rows otherwise). */
   val ShingleDfCap = 50
 
+  // ---- ANN shared machinery -------------------------------------------
+
+  /** Embedding dimensionality of the `embeddings` table (TESTDATA.md). */
+  private val EmbedDim = 64
+
+  /** embeddings as (vec_id, v: array<double>). */
+  private def embed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Left-fold dot product — matches DuckDB's `list_dot_product` term order
+    * exactly (same IEEE additions in the same order on both engines). */
+  private def dotC(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def cosC(a: Column, b: Column): Column =
+    dotC(a, b) / (sqrt(dotC(a, a)) * sqrt(dotC(b, b)))
+  private val CosSql = "list_dot_product(%s, %s) / " +
+    "(sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+  private def cosSql(a: String, b: String): String = CosSql.format(a, b, a, a, b, b)
+
+  /** LSH hash family: `LshTables` tables × `LshBits` random hyperplanes of
+    * deterministic ±1 (Rademacher) components from splitmix64 — the
+    * standard cosine sign-LSH, literal-expressible in BOTH engines (the
+    * planes are compile-time constants). Round-2's buckets were the sign
+    * bits of raw dims 1..8, which measured recall@5 = 0.10: raw coordinate
+    * signs only approximate random projections if dims are centered and
+    * independent. NOTE the measured ceiling on THIS corpus (BENCH.md):
+    * the embeddings are isotropic unit vectors whose true top-5 neighbors
+    * sit at cos ≈ 0.33-0.41, so a hyperplane separates a true pair with
+    * p ≈ 0.37 and a random pair with p = 0.5 — per-bit selectivity 1.26.
+    * No hyperplane family is much better here; this query is the cheap
+    * O(1)-probe sketch tier, `ann_ivf_topk` is the recall tier. */
+  private val LshTables = 2
+  private val LshBits = 8
+  private def splitmixSigns(seed: Long, n: Int): IndexedSeq[Double] = {
+    var x = seed
+    (0 until n).map { _ =>
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      if (z < 0) -1.0 else 1.0
+    }
+  }
+  private val LshPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    IndexedSeq.tabulate(LshTables, LshBits)((t, b) =>
+      splitmixSigns((t * LshBits + b + 1).toLong, EmbedDim))
+
+  /** bucket id of table `tbl`: bit b = sign of <v, plane(tbl,b)>. */
+  private def lshBucket(v: Column, tbl: Int): Column =
+    (0 until LshBits).map { b =>
+      val plane = array(LshPlanes(tbl)(b).map(lit): _*)
+      when(dotC(v, plane) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  private def lshBucketSql(tbl: Int): String =
+    (0 until LshBits).map { b =>
+      val plane = LshPlanes(tbl)(b).map(w => if (w > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** LSH candidate pairs (query_id, neighbor_id) BEFORE scoring — the
+    * multi-probe bucket join; also exposed for Bench's measured
+    * scan-fraction report. A pair is a candidate iff some table puts the
+    * neighbor in the query's bucket or any bucket at Hamming distance 1. */
+  def annLshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val e = embed(s, dir)
+    def banded(in: DataFrame, idCol: String) = in.select(col(idCol),
+        explode(array((0 until LshTables).map(tb =>
+          struct(lit(tb).as("tbl"), lshBucket(col("v"), tb).as("bucket"))): _*)).as("tb"))
+      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val data = banded(e, "vec_id")
+    val flips = array((lit(0) +: (0 until LshBits).map(b => lit(1 << b))): _*)
+    val probes = banded(e.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "query_id"), "query_id")
+      .select(col("query_id"), col("tbl"), explode(flips).as("flip"), col("bucket"))
+      .select(col("query_id"), col("tbl"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    broadcast(probes).join(data, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+  }
+
+  /** IVF parameters — all deterministic integer/IEEE arithmetic so the
+    * DuckDB oracle derives the IDENTICAL index from the same data:
+    * cells = ⌊4.5·√N⌋ (∝ √N: build cost N·cells stays O(N^1.5), the
+    * standard IVF regime), nprobe = ⌊cells/10⌋ (≈10% scan target),
+    * stride = ⌊N/cells⌋ (stratified seed every stride-th vec_id). */
+  private def ivfParams(n: Long): (Long, Long, Long) = {
+    val cells = math.max(1L, math.floor(4.5 * math.floor(math.sqrt(n.toDouble))).toLong)
+    (cells, math.max(1L, cells / 10), math.max(1L, n / cells))
+  }
+
+  /** One deterministic Lloyd iteration in FIXED-POINT arithmetic: cell
+    * means are computed as integer micro-unit sums (∑⌊x·10⁶+0.5⌋, an
+    * order-independent reduction) divided as exact doubles — float-sum
+    * averaging would make the centroids depend on partial-aggregation
+    * order and break cross-engine hash parity. */
+  private def ivfCentroids(e: DataFrame, seeds: DataFrame): DataFrame = {
+    val assigned0 = e.join(broadcast(seeds))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max_by(col("cent_id"),
+        struct(cosC(col("v"), col("cv")).as("c"), (-col("cent_id")).as("nid"))).as("cell"))
+    assigned0.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long")).as("sq"),
+        count(lit(1)).as("cnt"))
+      .select(col("cell"), struct(col("pos"),
+        (col("sq").cast("double") / col("cnt").cast("double") / lit(1000000.0)).as("c")).as("pc"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(col("pc"))), p => p.getField("c")).as("cv"))
+      .select(col("cell").as("cent_id"), col("cv"))
+  }
+
+  /** IVF candidates (query_id, qv, neighbor_id, v): every vector assigned
+    * to its nearest refined centroid, each query probing its nprobe
+    * nearest cells. Exposed (projected) for Bench's scan-fraction report. */
+  private def ivfCandidatesFull(s: SparkSession, dir: String): DataFrame = {
+    val e = embed(s, dir)
+    val (cells, nprobe, stride) = ivfParams(e.count())
+    val seeds = e
+      .filter(col("vec_id") % stride === 0 &&
+        floor(col("vec_id") / lit(stride.toDouble)) < cells)
+      .select(floor(col("vec_id") / lit(stride.toDouble)).cast("int").as("cent_id"),
+        col("v").as("cv"))
+    val cent = ivfCentroids(e, seeds)
+    val assigned = e.join(broadcast(cent))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max_by(col("cent_id"),
+        struct(cosC(col("v"), col("cv")).as("c"), (-col("cent_id")).as("nid"))).as("cell"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc").desc, col("cent_id").asc)
+    val qCells = broadcast(q).join(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        cosC(col("qv"), col("cv")).as("qc"))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    broadcast(qCells).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"), col("v"))
+  }
+
+  def annIvfCandidates(s: SparkSession, dir: String): DataFrame =
+    ivfCandidatesFull(s, dir).select(col("query_id"), col("neighbor_id"))
+
+  private def top5(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** 16-bit SimHash from token md5 nibbles — bit b of token hash = bit
     * (3 - b%4) of hex digit (1 + b/4); portable via position-in-hex-alphabet
     * arithmetic on both engines. */
@@ -111,9 +269,13 @@ object PipelineQueries {
 
     "dd_minhash_pairs" -> ((s, dir) => {
       // LSH: 4 bands of 2 hashes; candidates share >= 1 band bucket.
-      // persist(): the self-join would otherwise recompute the signature
-      // aggregation on both sides (exchange reuse is plan-dependent).
-      val sig = minhashSig(s, dir).persist()
+      // localCheckpoint: the self-join would otherwise recompute the
+      // signature aggregation on both sides (exchange reuse is
+      // plan-dependent). Unlike persist() — which leaked cached blocks into
+      // the shared session for the rest of the run, since a lazily returned
+      // DataFrame has no unpersist point — the checkpointed RDD is released
+      // by the ContextCleaner once the result is garbage-collected.
+      val sig = minhashSig(s, dir).localCheckpoint()
       val banded = sig.select(col("doc_id"),
         explode(array((0 until 4).map(k =>
           struct(lit(k).as("band"),
@@ -173,97 +335,45 @@ object PipelineQueries {
     }),
 
     // ---- similarity search ---------------------------------------------
+    // exact-recall baseline: broadcast the 10 query vectors, full scan
     "ann_brute_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val e = embed(s, dir)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      top5(broadcast(q).join(e, col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("qv"), col("v")) /
-            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))).as("cos"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+          cosC(col("qv"), col("v")).as("cos")))
     }),
 
-    // LSH-bucketed scale path, MULTI-PROBE: sign bits of dims 1..8 → 256
-    // buckets; a query probes its own bucket plus all 8 buckets at Hamming
-    // distance 1 (9/256 ≈ 3.5% of the data instead of an O(N) scan —
-    // single-probe recall was the round-1 weakness; measured recall@5 vs
-    // the brute-force baseline is reported by Bench).
+    // Random-hyperplane sign-LSH, 2 tables × 8 bits, Hamming-1 multi-probe
+    // — the cheap SKETCH tier (~7% of the data scanned, constant probe
+    // cost, no index build). See the hash-family scaladoc above for why
+    // recall is geometry-capped on this corpus; `ann_ivf_topk` below is
+    // the recall tier (≥0.7 at ≤10% scan, measured in BENCH.md).
     "ann_lsh_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("bucket",
-          (1 to 8).map(i =>
-            when(element_at(col("v"), i) >= 0, lit(1 << (i - 1))).otherwise(lit(0)))
-            .reduce(_ + _))
-      def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      val probes = array((lit(0) +: (0 until 8).map(b => lit(1 << b))): _*)
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          explode(probes).as("flip"), col("bucket"))
-        .select(col("query_id"), col("qv"),
-          col("bucket").bitwiseXOR(col("flip")).as("bucket"))
-      val scored = broadcast(q).join(e, Seq("bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("qv"), col("v")) /
-            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))).as("cos"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-    }),
-
-    // IVF coarse-quantizer scale path: 16 deterministic seed centroids,
-    // every vector assigned to its nearest centroid cell (one broadcast
-    // pass), a query probes its nprobe=4 nearest cells (~25% of the data;
-    // measured recall@5 vs brute: 0.92 at sf0.01, 1.00 at sf0.1 — Bench
-    // reports it each round). At cluster scale the cells are the
-    // partition/pruning unit and the centroid count grows with sqrt(N).
-    "ann_ivf_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      def cos(a: Column, b: Column): Column =
-        dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      // nearest-centroid assignment: deterministic tie-break on cent_id
-      val assigned = e.join(broadcast(cent))
-        .select(col("vec_id"), col("v"),
-          struct(cos(col("v"), col("cv")).as("c"), (-col("cent_id")).as("nid")).as("sc"),
-          col("cent_id"))
-        .groupBy(col("vec_id"), col("v"))
-        .agg(max_by(col("cent_id"), col("sc")).as("cell"))
+      val e = embed(s, dir)
+      val cand = annLshCandidates(s, dir)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val wq = Window.partitionBy(col("query_id"))
-        .orderBy(col("qc").desc, col("cent_id").asc)
-      val qCells = broadcast(q).join(broadcast(cent))
-        .select(col("query_id"), col("qv"), col("cent_id"),
-          cos(col("qv"), col("cv")).as("qc"))
-        .withColumn("crank", row_number().over(wq))
-        .filter(col("crank") <= 4)
-        .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
-      val scored = broadcast(qCells).join(assigned, Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cos(col("qv"), col("v")).as("cos"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      top5(cand
+        .join(broadcast(q), Seq("query_id"))
+        .join(e, cand("neighbor_id") === e("vec_id"))
+        .select(col("query_id"), col("neighbor_id"), cosC(col("qv"), col("v")).as("cos")))
+    }),
+
+    // IVF coarse quantizer, the ANN recall tier: ⌊4.5√N⌋ cells from
+    // stratified seeds refined by one fixed-point Lloyd iteration, every
+    // vector assigned to its nearest centroid, nprobe = cells/10 (≈10%
+    // scan). Measured at sf0.1: recall@5 = 0.74 at 9.6% scan (BENCH.md) —
+    // on THIS corpus (isotropic unit vectors, true neighbors at
+    // cos ≈ 0.33-0.41) that is near the partition-index ceiling; round 2's
+    // "recall 1.000" at 25% scan was an artifact of seeding centroids with
+    // vec_id < 16, which made every query vector its own centroid. At
+    // cluster scale: cells ∝ √N keeps build cost at the standard O(N^1.5)
+    // IVF regime, cells are the partition/pruning unit, queries broadcast.
+    "ann_ivf_topk" -> ((s, dir) => {
+      top5(ivfCandidatesFull(s, dir)
+        .select(col("query_id"), col("neighbor_id"), cosC(col("qv"), col("v")).as("cos")))
     }),
 
     // ---- text analysis ---------------------------------------------------
@@ -388,51 +498,73 @@ object PipelineQueries {
     "ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
-         |eb AS (SELECT vec_id, v,
-         |  ${(1 to 8).map(i => s"(CASE WHEN v[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")} AS bucket
-         |  FROM e),
-         |probes AS (SELECT q.vec_id AS query_id, q.v AS qv,
-         |    xor(q.bucket, f.flip) AS bucket
-         |  FROM eb q, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS flip) f
-         |  WHERE q.vec_id < 10),
+         |banded AS (
+         |  ${(0 until LshTables).map(tb =>
+             s"SELECT vec_id, $tb AS tbl, ${lshBucketSql(tb)} AS bucket FROM e")
+             .mkString("\n  UNION ALL\n  ")}),
+         |probes AS (SELECT b.vec_id AS query_id, b.tbl,
+         |    xor(b.bucket, f.flip) AS bucket
+         |  FROM banded b, (SELECT unnest([${(0L +: (0 until LshBits).map(b => (1L << b)))
+             .mkString(",")}]) AS flip) f
+         |  WHERE b.vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, d.vec_id AS neighbor_id
+         |  FROM probes p JOIN banded d ON p.tbl = d.tbl AND p.bucket = d.bucket
+         |  WHERE d.vec_id <> p.query_id),
          |scored AS (
-         |  SELECT p.query_id, e.vec_id AS neighbor_id,
-         |    list_dot_product(p.qv, e.v) /
-         |    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
-         |  FROM probes p JOIN eb e ON p.bucket = e.bucket AND e.vec_id <> p.query_id)
+         |  SELECT c.query_id, c.neighbor_id, ${cosSql("q.v", "n.v")} AS cos
+         |  FROM cand c JOIN e q ON c.query_id = q.vec_id
+         |              JOIN e n ON c.neighbor_id = n.vec_id)
          |SELECT query_id, neighbor_id, rank FROM (
          |  SELECT query_id, neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
     "ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        |cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
-        |assigned AS (
-        |  SELECT vec_id, v, cell FROM (
-        |    SELECT e.vec_id, e.v, c.cent_id AS cell,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(e.v, c.cv) /
-        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |        c.cent_id ASC) AS r
-        |    FROM e, cent c) WHERE r = 1),
-        |qcells AS (
-        |  SELECT query_id, qv, cell FROM (
-        |    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id AS cell,
-        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_dot_product(q.v, c.cv) /
-        |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |        c.cent_id ASC) AS crank
-        |    FROM e q, cent c WHERE q.vec_id < 10) WHERE crank <= 4),
-        |scored AS (
-        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-        |    list_dot_product(p.qv, a.v) /
-        |    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
-        |  FROM qcells p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id)
-        |SELECT query_id, neighbor_id, rank FROM (
-        |  SELECT query_id, neighbor_id,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 5""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |params AS (SELECT
+         |    GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT)) AS cells,
+         |    GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT) // 10) AS nprobe,
+         |    GREATEST(1, COUNT(*) // GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT))) AS stride
+         |  FROM e),
+         |seeds AS (
+         |  SELECT CAST(FLOOR(e.vec_id / p.stride) AS INT) AS cent_id, e.v AS cv
+         |  FROM e, params p
+         |  WHERE e.vec_id % p.stride = 0 AND FLOOR(e.vec_id / p.stride) < p.cells),
+         |assign0 AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, s.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosSql("e.v", "s.cv")} DESC, s.cent_id ASC) AS r
+         |    FROM e, seeds s) WHERE r = 1),
+         |contrib AS (
+         |  SELECT a.cell, gs.i AS pos,
+         |    SUM(CAST(FLOOR(a.v[gs.i] * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+         |    COUNT(*) AS cnt
+         |  FROM assign0 a, UNNEST(generate_series(1, len(a.v))) AS gs(i)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell AS cent_id, list(CAST(sq AS DOUBLE) / cnt / 1000000.0 ORDER BY pos) AS cv
+         |  FROM contrib GROUP BY cell),
+         |assigned AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosSql("e.v", "c.cv")} DESC, c.cent_id ASC) AS r
+         |    FROM e, cent c) WHERE r = 1),
+         |qcells AS (
+         |  SELECT x.query_id, x.qv, x.cell FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${cosSql("q.v", "c.cv")} DESC, c.cent_id ASC) AS crank
+         |    FROM e q, cent c WHERE q.vec_id < 10) x, params p WHERE x.crank <= p.nprobe),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("p.qv", "a.v")} AS cos
+         |  FROM qcells p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
     "ta_langid" ->
       """WITH sc AS (SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of','a'))) AS s_en,

@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DecimalType
@@ -187,12 +188,17 @@ object SystemQueries {
     }
     val oracleDf = s.createDataFrame(oracle)
     val matchCols = Seq("warc_ts", "lang", "text_fp", "fetch_status", "content_len")
-    def joined = engine.alias("e").join(oracleDf.alias("o"), Seq("url"), "full_outer")
+    val joined = engine.alias("e").join(oracleDf.alias("o"), Seq("url"), "full_outer")
       .withColumn("row_match",
         matchCols.map(c => col(s"e.$c") <=> col(s"o.$c")).reduce(_ && _))
-    val allMatch = joined.filter(!col("row_match")).isEmpty
+    // digest_match = AND of row_match over ALL rows, as a window aggregate
+    // in the SAME plan — the join runs exactly once (the previous eager
+    // isEmpty + lazy rebuild executed it twice). The empty-frame global
+    // window collapses to one partition: fine for a certification result of
+    // a few hundred rows, never for a data path.
+    val everyRow = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     joined.select((col("url") +: matchCols.map(c => col(s"e.$c").as(c))) :+
-      col("row_match") :+ lit(allMatch).as("digest_match"): _*)
+      col("row_match") :+ min(col("row_match")).over(everyRow).as("digest_match"): _*)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -226,12 +232,15 @@ object SystemQueries {
         }.toSeq
       val oracleDf = s.createDataFrame(oracle)
       val mc = Seq("n", "min_seq", "max_seq", "n_urls")
-      def j = stats.alias("e")
+      val j = stats.alias("e")
         .join(oracleDf.alias("o"), Seq("op", "schema_version"), "full_outer")
         .withColumn("row_match", mc.map(c => col(s"e.$c") <=> col(s"o.$c")).reduce(_ && _))
-      val allMatch = j.filter(!col("row_match")).isEmpty
+      // single-plan certification: see cdcReplay's digest_match note
+      val everyRow = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
       j.select((Seq(col("op"), col("schema_version")) ++ mc.map(c => col(s"e.$c").as(c))) :+
-        col("row_match") :+ lit(allMatch).as("digest_match"): _*)
+        col("row_match") :+ min(col("row_match")).over(everyRow).as("digest_match"): _*)
     })
   )
 

@@ -35,15 +35,32 @@ object DclParser {
   }
 
   /** Strip the fixed-form COBOL frame: sequence number columns 1-6 and
-    * 73-80, and any line whose indicator column (7) marks a comment. */
-  private def normalize(content: String): Seq[String] =
-    content.linesIterator.toSeq.flatMap { raw =>
-      // DCLGEN emits both numbered (cols 1-6 digits) and space-led lines
-      val line = if (raw.length > 72) raw.take(72) else raw
-      if (line.length <= 6) None
-      else if (line.charAt(6) == '*' || line.charAt(6) == '/') None // comment
-      else Some(line.substring(7)) // drop cols 1-7 (sequence + indicator)
+    * 73-80, and any line whose indicator column (7) marks a comment.
+    *
+    * The frame is stripped only when the file actually CARRIES it — every
+    * non-blank line must look fixed-form (cols 1-6 digits/spaces, a valid
+    * indicator in col 7). Trimmed / free-form copies (content before col 8,
+    * which the reference's position-independent regex scan handles) would
+    * otherwise be silently truncated into a wrong parse; they fall back to
+    * the raw lines with only leading-`*` comment lines removed. */
+  private def normalize(content: String): Seq[String] = {
+    val lines = content.linesIterator.toSeq
+    val nonBlank = lines.filter(_.trim.nonEmpty)
+    val fixedForm = nonBlank.nonEmpty && nonBlank.forall { l =>
+      l.length > 6 && l.take(6).forall(c => c.isDigit || c == ' ') &&
+        " */-Dd".contains(l.charAt(6)) // space, comment, continuation, debug
     }
+    if (fixedForm)
+      lines.flatMap { raw =>
+        val line = if (raw.length > 72) raw.take(72) else raw
+        if (line.length <= 6) None
+        else if (line.charAt(6) == '*' || line.charAt(6) == '/') None // comment
+        else Some(line.substring(7)) // drop cols 1-7 (sequence + indicator)
+      }
+    else
+      lines.map(_.replaceAll("\\s+$", ""))
+        .filter(l => l.trim.nonEmpty && !l.trim.startsWith("*"))
+  }
 
   private val DeclareRe =
     raw"(?is)EXEC\s+SQL\s+DECLARE\s+([\w.]+)\s+TABLE\s*\((.*?)\)\s*END-EXEC".r

@@ -64,4 +64,26 @@ class QueriesSpec extends SparkTestBase {
       .agg(sum(length(encode(col("text"), "UTF-8")))).head.getLong(0)
     assert(got == expected)
   }
+
+  test("spot: ANN tiers hold their recall/scan contracts at sf0.01") {
+    // sf0.01 (500 vectors) — measured this round: IVF 0.72 recall at ~9%
+    // scan, LSH 0.24 at ~8%; floors are set with slack below those points
+    // so a regression to round-2 behavior (first-16 centroid leak, raw-dim
+    // sign buckets at 0.10 recall) fails, normal jitter does not.
+    val d = "/root/testdata/sf0.01"
+    def pairs(q: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, d).select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("ann_brute_topk")
+    val nVec = spark.read.parquet(s"$d/embeddings.parquet").count()
+    val denom = 10.0 * (nVec - 1)
+    val ivfRecall = pairs("ann_ivf_topk").intersect(brute).size.toDouble / brute.size
+    val lshRecall = pairs("ann_lsh_topk").intersect(brute).size.toDouble / brute.size
+    val ivfScan = graft.queries.PipelineQueries.annIvfCandidates(spark, d).count() / denom
+    val lshScan = graft.queries.PipelineQueries.annLshCandidates(spark, d).count() / denom
+    assert(ivfRecall >= 0.6, s"ivf recall@5 regressed: $ivfRecall")
+    assert(ivfScan <= 0.15, s"ivf scan fraction too high: $ivfScan")
+    assert(lshRecall >= 0.1, s"lsh recall@5 regressed: $lshRecall")
+    assert(lshScan <= 0.15, s"lsh scan fraction too high: $lshScan")
+  }
 }
