@@ -18,7 +18,7 @@ object Exporter {
 
   final case class ExportResult(
       dataset: String, format: String, path: String, rows: Long, durationMs: Long,
-      checksums: Seq[FileChecksum] = Seq.empty)
+      checksums: Seq[FileChecksum] = Seq.empty, dirSha256: Option[String] = None)
 
   /** Content digest of one written output file (file_utils.py:46-87 parity:
     * the reference records per-file and per-directory md5/sha256). */
@@ -62,7 +62,20 @@ object Exporter {
     val rows = obs.get("rows").asInstanceOf[Long]
     val sums = if (withChecksums) fileChecksums(spark, path) else Seq.empty
     ExportResult(datasetName, format.name, path, rows,
-      (System.nanoTime() - t0) / 1000000L, sums)
+      (System.nanoTime() - t0) / 1000000L, sums,
+      if (withChecksums) Some(dirDigest(sums)) else None)
+  }
+
+  /** Directory-level aggregate digest (file_utils.py:66-87 parity): sha256
+    * over the SORTED per-file content sha256s — order- and name-independent
+    * (part-file names carry per-run UUIDs), so it is stable across
+    * re-exports of identical content and changes when any part file's
+    * bytes change. */
+  def dirDigest(sums: Seq[FileChecksum]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    sums.map(_.sha256).sorted.foreach(h =>
+      md.update(h.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Distributed per-file content digests of an output directory: one
@@ -96,6 +109,7 @@ object Exporter {
       e.put("dataset", r.dataset); e.put("format", r.format)
       e.put("path", r.path); e.put("rows", r.rows)
       e.put("duration_ms", r.durationMs); e.put("status", "success")
+      r.dirSha256.foreach(d => e.put("dir_sha256", d))
       if (r.checksums.nonEmpty) {
         val fs = e.putArray("files")
         r.checksums.foreach { c =>

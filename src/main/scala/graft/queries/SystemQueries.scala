@@ -59,9 +59,6 @@ object SystemQueries {
   final case class SessionState(startMicros: Long, endMicros: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
-  // NOT private: Janino-generated encoder code cannot call accessors of a
-  // private nested case class (hard CompileException in the stream stage)
-  final case class SessEvent(user_id: Long, tsMicros: Long, event_id: Long)
 
   private val SessionGapMicros: Long = 6L * 3600 * 1000000 // 6h inactivity gap
 
@@ -71,8 +68,12 @@ object SystemQueries {
     * later; closed sessions are emitted in append mode, the open tail stays
     * in the state store (and is never emitted — the oracle mirrors that by
     * dropping each user's last session). The input is staged as 4
-    * time-range chunks drained one file per micro-batch, so state
-    * genuinely crosses micro-batch boundaries. */
+    * ts-range part files (one `repartitionByRange` write, parallel — no
+    * single-task sorts) drained one file per micro-batch in mtime order,
+    * so state genuinely crosses micro-batch boundaries: each batch carries
+    * one contiguous time range, ranges arrive ascending, and the in-batch
+    * fold sorts its own slice. Session boundaries depend only on the
+    * global ts order, never on where the range cuts fall. */
   private def strmSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -80,24 +81,19 @@ object SystemQueries {
     // timestamp so epoch casts and the Timestamp encoder both apply
     val src = s.read.parquet(s"$dir/events.parquet")
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
-    // stage as 4 single-file chunks split on ts so per-user order holds
-    // across micro-batches (within a batch the group iterator is sorted)
-    val bounds = src.agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
-      .head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1) + 1)
     val stage = Files.createTempDirectory("sessrc")
-    val span = math.max(1L, (hi - lo) / 4)
-    (0 until 4).foreach { k =>
-      val from = lo + k * span
-      val until = if (k == 3) hi else lo + (k + 1) * span
-      val chunkDir = stage.resolve(f"chunk-$k%02d")
-      src.filter(col("ts").cast("long") >= from && col("ts").cast("long") < until)
-        .orderBy(col("ts"), col("event_id")).coalesce(1)
-        .write.parquet(chunkDir.toString)
-      // ascending mtimes pin the delivery order chunk-0..chunk-3
-      val parts = Files.list(chunkDir).iterator()
+    src.repartitionByRange(4, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(stage.toString)
+    // part-0000k holds range k: pin ascending mtimes in part-name order so
+    // the file stream source delivers the ranges oldest-first
+    locally {
+      val parts = Files.list(stage).iterator()
+      val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
       while (parts.hasNext) {
         val p = parts.next()
+        if (p.getFileName.toString.endsWith(".parquet")) sorted += p
+      }
+      sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, k) =>
         Files.setLastModifiedTime(p,
           java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + k * 60000L))
       }
@@ -106,31 +102,48 @@ object SystemQueries {
     val sinkDir = Files.createTempDirectory("sessout").toString
     val q = s.readStream.schema(sch)
       .option("maxFilesPerTrigger", 1)
-      .parquet(stage.toString + "/chunk-*")
+      .parquet(stage.toString)
       .as[(Long, java.sql.Timestamp, Long)]
-      .map { case (uid, ts, eid) =>
-        SessEvent(uid, ts.getTime * 1000 + (ts.getNanos / 1000) % 1000, eid)
+      .map { case (uid, ts, _) =>
+        (uid, ts.getTime * 1000 + (ts.getNanos / 1000) % 1000)
       }
-      .groupByKey(_.user_id)
+      .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[SessEvent], state: GroupState[SessionState]) =>
-          val evs = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          // Bounded-constant buffering: the group's batch slice is folded
+          // through ONE primitive long array (8 bytes/event, grown by
+          // doubling) sorted in place — vs the former it.toSeq.sortBy of
+          // per-event objects (~10x the footprint, a real risk for a hot
+          // user owning most of a batch). Only timestamps are buffered:
+          // the session fold (gap checks, min/max, counts) depends solely
+          // on the ts MULTISET, so event order within equal timestamps —
+          // the oracle's event_id tie-break — cannot change the result.
+          var ts = new Array[Long](256)
+          var n = 0
+          it.foreach { e =>
+            if (n == ts.length) ts = java.util.Arrays.copyOf(ts, n * 2)
+            ts(n) = e._2; n += 1
+          }
+          java.util.Arrays.sort(ts, 0, n)
           val out = Seq.newBuilder[SessionOut]
           var cur = state.getOption
-          evs.foreach { e =>
+          var i = 0
+          while (i < n) {
+            val t = ts(i)
             cur match {
-              case Some(st) if e.tsMicros - st.endMicros > SessionGapMicros =>
+              case Some(st) if t - st.endMicros > SessionGapMicros =>
                 out += SessionOut(uid,
                   graft.codec.RecordCodec.microsToTimestamp(st.startMicros),
                   graft.codec.RecordCodec.microsToTimestamp(st.endMicros), st.n)
-                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+                cur = Some(SessionState(t, t, 1))
               case Some(st) =>
                 cur = Some(st.copy(
-                  endMicros = math.max(st.endMicros, e.tsMicros), n = st.n + 1))
+                  endMicros = math.max(st.endMicros, t), n = st.n + 1))
               case None =>
-                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+                cur = Some(SessionState(t, t, 1))
             }
+            i += 1
           }
           cur.foreach(state.update)
           out.result().iterator

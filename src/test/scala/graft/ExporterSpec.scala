@@ -50,6 +50,32 @@ class ExporterSpec extends SparkTestBase {
     assert(json.contains("\"sha256\""))
   }
 
+  test("dir digest: stable across re-exports, changes when a part file changes") {
+    val df = table.read(spark)
+    val r1 = Exporter.export(spark, df, tmpDir("expdd1"), Exporter.Csv,
+      "pages", singleFile = true, withChecksums = true)
+    val r2 = Exporter.export(spark, df, tmpDir("expdd2"), Exporter.Csv,
+      "pages", singleFile = true, withChecksums = true)
+    assert(r1.dirSha256.nonEmpty)
+    // same content, different part-file UUIDs → identical aggregate digest
+    assert(r1.dirSha256 == r2.dirSha256)
+    // corrupt one output file → the digest must change
+    val part = new java.io.File(r2.path).listFiles()
+      .filter(_.getName.startsWith("part-")).head.toPath
+    java.nio.file.Files.writeString(part, "tampered\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    // drop Hadoop's local-FS checksum sidecar so the re-read sees the
+    // tampered bytes instead of failing CRC verification
+    java.nio.file.Files.deleteIfExists(
+      part.resolveSibling("." + part.getFileName.toString + ".crc"))
+    val after = Exporter.dirDigest(Exporter.fileChecksums(spark, r2.path))
+    assert(Some(after) != r1.dirSha256)
+    // and it lands in the manifest
+    val manifest = Exporter.writeManifest(tmpDir("expddm"), Seq(r1))
+    val json = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(manifest)))
+    assert(json.contains("\"dir_sha256\" : \"" + r1.dirSha256.get + "\""))
+  }
+
   test("rows with embedded newlines are counted correctly (observe, not re-read)") {
     import spark.implicits._
     val tricky = Seq(("a", "line1\nline2"), ("b", "x,y\n\"q\"")).toDF("k", "v")

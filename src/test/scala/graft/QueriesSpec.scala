@@ -65,6 +65,45 @@ class QueriesSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("strm_sessions: hot user owning 50% of events matches the window oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one user owns every second event — the group-state fold must handle a
+    // batch slice of ~half the feed (primitive-array buffering, 8B/event)
+    val dir = java.nio.file.Files.createTempDirectory("sesshot")
+    val rnd = new scala.util.Random(7)
+    var tSec = 1577836800L
+    val rows = (0 until 20000).map { i =>
+      val uid = if (i % 2 == 0) 1L else 2L + rnd.nextInt(50)
+      // mostly minutes-apart, with occasional >6h jumps that close sessions
+      tSec += (if (rnd.nextInt(200) == 0) 8L * 3600 else 60L + rnd.nextInt(600))
+      (uid, new java.sql.Timestamp(tSec * 1000 + rnd.nextInt(1000)), i.toLong)
+    }
+    rows.toDF("user_id", "ts", "event_id")
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val got = SparkEntry.queries("strm_sessions")(spark, dir.toString)
+    // mirror of the DuckDB oracle: lag/sum window sessionization, dropping
+    // each user's open (last) session
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = ev
+      .withColumn("pts", lag("ts", 1).over(w))
+      .withColumn("brk", when(col("pts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("pts")) > 21600000000L, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+    val expected = sess
+      .join(sess.groupBy("user_id").agg(max("sid").as("msid")), "user_id")
+      .filter(col("sid") < col("msid"))
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "sessionization diverges from the window oracle on a hot-key feed")
+  }
+
   test("spot: ANN tiers hold their recall/scan contracts at sf0.01") {
     // sf0.01 (500 vectors) — measured this round: IVF 0.72 recall at ~9%
     // scan, LSH 0.24 at ~8%; floors are set with slack below those points
