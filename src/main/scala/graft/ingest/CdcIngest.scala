@@ -45,7 +45,8 @@ object CdcIngest {
   final case class IngestConfig(
       numBuckets: Int = 32,
       saltBuckets: Int = 16,
-      segmentsPerBatch: Int = 4)
+      segmentsPerBatch: Int = 4,
+      segmentsPerKeyTask: Int = 25)
 
   /** User-facing v1 schema of the pages lake table (BASELINE.json:input_hint). */
   val PagesSchemaV1: StructType = StructType(Seq(
@@ -272,11 +273,21 @@ object CdcIngest {
     * no per-event object is allocated (vs the former per-event
     * (urlBytes, seq, ts) rows). Hot keys need no salt: the reduce side
     * sees at most #tasks rows per url by construction. Also populates the
-    * executor-local [[SegmentCache]] for the payload pass. */
-  private def keyStats(spark: SparkSession, segmentPaths: Seq[String]): Dataset[KeyAgg] = {
+    * executor-local [[SegmentCache]] for the payload pass.
+    *
+    * Task granularity is DATA-determined (`segmentsPerTask`), never
+    * cluster-determined: sizing tasks by `defaultParallelism` made the
+    * combine ratio — and therefore the total shuffle volume — grow with
+    * the cluster (measured: 3.7M vs 2.3M shuffled key rows for the same
+    * 4M-event feed at 8 vs 2 cores), the exact anti-scaling pattern a
+    * 1000-executor run cannot afford. Fixed granularity keeps per-task
+    * combine state bounded (~25 segs ≈ 500k events ≈ ≤16 MB of combiner
+    * arrays) and shuffle volume invariant across cluster sizes. */
+  private def keyStats(spark: SparkSession, segmentPaths: Seq[String],
+      segmentsPerTask: Int = 25): Dataset[KeyAgg] = {
     import spark.implicits._
-    val parallelism = math.max(1, math.min(segmentPaths.size,
-      spark.sparkContext.defaultParallelism * 4))
+    val parallelism = math.max(1,
+      (segmentPaths.size + segmentsPerTask - 1) / segmentsPerTask)
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
@@ -298,9 +309,12 @@ object CdcIngest {
       }
   }
 
+  /** Broadcast winner-seq membership filter. */
+  sealed trait SeqFilter extends Serializable { def contains(v: Long): Boolean }
+
   /** Minimal open-addressing long set (no boxing, no per-entry objects) —
-    * broadcast to executors as the winner-seq filter. */
-  final class LongSet(capacityHint: Int) extends Serializable {
+    * the general-purpose [[SeqFilter]] for sparse/huge seq ranges. */
+  final class LongSet(capacityHint: Int) extends SeqFilter {
     private val cap = Integer.highestOneBit(math.max(16, capacityHint * 2) - 1) * 2
     private val mask = cap - 1
     private val slots = new Array[Long](cap)
@@ -314,6 +328,47 @@ object CdcIngest {
       var i = (java.lang.Long.hashCode(v) * 0x9e3779b9) & mask
       while (used(i)) { if (slots(i) == v) return true; i = (i + 1) & mask }
       false
+    }
+  }
+
+  /** Bitmap over the batch's [minSeq, maxSeq] range — WAL seqs are dense
+    * by construction, so 1 bit per seq beats the hash set by ~16x in
+    * broadcast bytes (16M-event batch: 2 MB bitmap vs ~36 MB set) and the
+    * membership test is one cache-friendly bit probe. Chosen whenever the
+    * range is dense enough (see [[seqFilterOf]]); a resumed feed with a
+    * giant sparse gap falls back to [[LongSet]]. */
+  final class SeqRangeBits(base: Long, words: Array[Long]) extends SeqFilter {
+    def contains(v: Long): Boolean = {
+      val off = v - base
+      off >= 0 && off < (words.length.toLong << 6) &&
+        ((words((off >>> 6).toInt) >>> (off & 63).toInt) & 1L) == 1L
+    }
+  }
+
+  private[graft] def seqFilterOf(
+      packed: Seq[Array[Long]], nWinners: Long, mn: Long, mx: Long): SeqFilter = {
+    val range = if (mx >= mn) mx - mn + 1 else 0L
+    // bitmap words = range/64; LongSet costs ~2.25 longs per winner —
+    // prefer the bitmap up to a 4x size allowance (it also probes faster)
+    if (range > 0 && range <= math.max(1L, nWinners) * 576L &&
+        range < (Int.MaxValue.toLong << 6)) {
+      val words = new Array[Long](((range + 63) >>> 6).toInt)
+      packed.foreach { a =>
+        var i = 0
+        while (i < a.length) {
+          val off = a(i) - mn
+          words((off >>> 6).toInt) |= 1L << (off & 63).toInt
+          i += 1
+        }
+      }
+      new SeqRangeBits(mn, words)
+    } else {
+      val set = new LongSet(math.min(nWinners, Int.MaxValue.toLong).toInt)
+      packed.foreach { a =>
+        var i = 0
+        while (i < a.length) { set.add(a(i)); i += 1 }
+      }
+      set
     }
   }
 
@@ -336,7 +391,8 @@ object CdcIngest {
       segmentPaths: Seq[String],
       salt: Int,
       urlPartitions: Int,
-      maxCollectedKeys: Int = 4000000): (DataFrame, Option[(Long, Long, Long)]) = {
+      maxCollectedKeys: Int = 4000000,
+      segmentsPerKeyTask: Int = 25): (DataFrame, Option[(Long, Long, Long)]) = {
     import spark.implicits._
     val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
     var tM = System.nanoTime()
@@ -345,7 +401,7 @@ object CdcIngest {
       System.err.println(f"[trace]   $ph%-16s ${(now - tM) / 1e9}%7.3f s")
       tM = now
     }
-    val winnerKeys = keyStats(spark, segmentPaths)
+    val winnerKeys = keyStats(spark, segmentPaths, segmentsPerKeyTask)
       .groupBy(col("h1"), col("h2"))
       .agg(max_by(struct(col("wts"), col("wseq")), struct(col("wts"), col("wseq"))).as("_w"),
         sum(col("n")).as("_n"), min(col("mn")).as("_mn"), max(col("mx")).as("_mx"))
@@ -364,7 +420,7 @@ object CdcIngest {
       * in the broadcast winner set, decode only those. The broadcast is
       * dereferenced INSIDE the task (a `set.contains` closure made on the
       * driver would serialize the whole set into every task binary). */
-    def decodeWinners(setBc: org.apache.spark.broadcast.Broadcast[LongSet]): DataFrame =
+    def decodeWinners(setBc: org.apache.spark.broadcast.Broadcast[SeqFilter]): DataFrame =
       spark.createDataset(segmentPaths)
         .repartition(parallelism)
         .flatMap { p =>
@@ -393,32 +449,33 @@ object CdcIngest {
     }
 
     if (nWinners <= maxCollectedKeys) {
-      // collect as ONE packed long[] per partition (4 longs per key row):
-      // 32 B/key on the driver vs ~100+ B for boxed tuple rows — the
-      // per-batch driver transient at 4M keys drops from ~400 MB of object
-      // churn to 128 MB of flat arrays, folded below without allocation.
+      // collect ONE packed long[] of winner seqs per partition plus that
+      // partition's (events, minSeq, maxSeq) totals — 8 B/key transferred
+      // (vs ~100+ B for boxed tuple rows: at 4M keys the driver transient
+      // drops from ~400 MB of object churn to 32 MB of flat arrays), the
+      // global totals folded from #partitions subtotals instead of being
+      // carried per key, all in a single job over the cached aggregation.
       val packed = winnerKeys.as[(Long, Long, Long, Long)]
         .mapPartitions { it =>
           val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+          var ev = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
           it.foreach { case (wseq, n, rmn, rmx) =>
-            buf += wseq; buf += n; buf += rmn; buf += rmx
+            buf += wseq; ev += n
+            if (rmn < mn) mn = rmn
+            if (rmx > mx) mx = rmx
           }
-          Iterator.single(buf.result())
+          Iterator.single((buf.result(), ev, mn, mx))
         }.collect()
       winnerKeys.unpersist()
       mk("collect")
       var ev = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
-      val set = new LongSet(nWinners.toInt)
-      packed.foreach { a =>
-        var i = 0
-        while (i < a.length) {
-          set.add(a(i)); ev += a(i + 1)
-          if (a(i + 2) < mn) mn = a(i + 2)
-          if (a(i + 3) > mx) mx = a(i + 3)
-          i += 4
-        }
+      packed.foreach { case (_, pev, pmn, pmx) =>
+        ev += pev
+        if (pmn < mn) mn = pmn
+        if (pmx > mx) mx = pmx
       }
-      val setBc = spark.sparkContext.broadcast(set)
+      val filter = seqFilterOf(packed.map(_._1).toSeq, nWinners, mn, mx)
+      val setBc = spark.sparkContext.broadcast(filter)
       val winners = collapse(decodeWinners(setBc))
       mk("plan-winners")
       (winners, Some((ev, mn, mx)))
@@ -680,7 +737,8 @@ object CdcIngest {
         val dataCols = schema.fieldNames.toSeq
         val obs = org.apache.spark.sql.Observation(s"ingest-$batchId")
         val (winnersDf, keyTotals) = dedupViaKeyBroadcast(
-          spark, segments.map(_._2), config.saltBuckets, numBuckets)
+          spark, segments.map(_._2), config.saltBuckets, numBuckets,
+          segmentsPerKeyTask = config.segmentsPerKeyTask)
         val src = winnersDf
           .observe(obs,
             count(lit(1)).as("winners"),

@@ -160,6 +160,30 @@ class IngestSpec extends SparkTestBase {
     assert(snap2.metrics("touchedBuckets") == 1L, "only one bucket touched")
   }
 
+  test("seq filter: dense range uses a bitmap, sparse falls back to the hash set; both exact") {
+    val rnd = new scala.util.Random(11)
+    // dense: winners drawn from a contiguous range → bitmap
+    val dense = Array.fill(5000)(rnd.nextInt(20000).toLong + 100).distinct
+    val fDense = CdcIngest.seqFilterOf(Seq(dense), dense.length, 100L, 20099L)
+    assert(fDense.isInstanceOf[CdcIngest.SeqRangeBits])
+    // sparse: values spread over a huge range → hash set
+    val sparse = Array.fill(500)(math.abs(rnd.nextLong()) / 2)
+    val fSparse = CdcIngest.seqFilterOf(
+      Seq(sparse), sparse.length, sparse.min, sparse.max)
+    assert(fSparse.isInstanceOf[CdcIngest.LongSet])
+    for (f <- Seq(fDense -> dense, fSparse -> sparse)) {
+      val (filter, vals) = f
+      vals.foreach(v => assert(filter.contains(v), s"missing $v"))
+      val present = vals.toSet
+      var miss = 0
+      (0 until 10000).foreach { _ =>
+        val probe = vals(rnd.nextInt(vals.length)) + rnd.nextInt(7) - 3
+        if (!present.contains(probe)) { miss += 1; assert(!filter.contains(probe)) }
+      }
+      assert(miss > 0, "negative probes never exercised")
+    }
+  }
+
   test("dedup fallback (winner count over cap) matches the broadcast path") {
     val spec = FeedSpec(seed = 71L, numEvents = 3000, numUrls = 500,
       eventsPerSegment = 600, evolveAtEvent = 1500, duplicateRatio = 0.1)
