@@ -161,12 +161,19 @@ object PipelineQueries {
     * means are computed as integer micro-unit sums (∑⌊x·10⁶+0.5⌋, an
     * order-independent reduction) divided as exact doubles — float-sum
     * averaging would make the centroids depend on partial-aggregation
-    * order and break cross-engine hash parity. */
+    * order and break cross-engine hash parity.
+    *
+    * Both inputs carry a precomputed norm column (`nv` / `ncv`): the
+    * assignment joins evaluate O(N·cells) cosines, and recomputing
+    * `sqrt(dot(v,v))` per PAIR tripled the array-lambda work (measured
+    * 21.9 s → the norms are the same IEEE value computed once per vector,
+    * so oracle hash parity is untouched). */
   private def ivfCentroids(e: DataFrame, seeds: DataFrame): DataFrame = {
     val assigned0 = e.join(broadcast(seeds))
       .groupBy(col("vec_id"), col("v"))
-      .agg(max_by(col("cent_id"),
-        struct(cosC(col("v"), col("cv")).as("c"), (-col("cent_id")).as("nid"))).as("cell"))
+      .agg(max_by(col("cent_id"), struct(
+        (dotC(col("v"), col("cv")) / (col("nv") * col("ncv"))).as("c"),
+        (-col("cent_id")).as("nid"))).as("cell"))
     assigned0.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long")).as("sq"),
@@ -175,38 +182,43 @@ object PipelineQueries {
         (col("sq").cast("double") / col("cnt").cast("double") / lit(1000000.0)).as("c")).as("pc"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(col("pc"))), p => p.getField("c")).as("cv"))
-      .select(col("cell").as("cent_id"), col("cv"))
+      .select(col("cell").as("cent_id"), col("cv"),
+        sqrt(dotC(col("cv"), col("cv"))).as("ncv"))
   }
 
-  /** IVF candidates (query_id, qv, neighbor_id, v): every vector assigned
-    * to its nearest refined centroid, each query probing its nprobe
-    * nearest cells. Exposed (projected) for Bench's scan-fraction report. */
+  /** IVF candidates (query_id, qv, neighbor_id, v, norms): every vector
+    * assigned to its nearest refined centroid, each query probing its
+    * nprobe nearest cells. Exposed (projected) for Bench's scan-fraction
+    * report. */
   private def ivfCandidatesFull(s: SparkSession, dir: String): DataFrame = {
     val e = embed(s, dir)
+      .withColumn("nv", sqrt(dotC(col("v"), col("v"))))
     val (cells, nprobe, stride) = ivfParams(e.count())
     val seeds = e
       .filter(col("vec_id") % stride === 0 &&
         floor(col("vec_id") / lit(stride.toDouble)) < cells)
       .select(floor(col("vec_id") / lit(stride.toDouble)).cast("int").as("cent_id"),
-        col("v").as("cv"))
+        col("v").as("cv"), col("nv").as("ncv"))
     val cent = ivfCentroids(e, seeds)
     val assigned = e.join(broadcast(cent))
-      .groupBy(col("vec_id"), col("v"))
-      .agg(max_by(col("cent_id"),
-        struct(cosC(col("v"), col("cv")).as("c"), (-col("cent_id")).as("nid"))).as("cell"))
+      .groupBy(col("vec_id"), col("v"), col("nv"))
+      .agg(max_by(col("cent_id"), struct(
+        (dotC(col("v"), col("cv")) / (col("nv") * col("ncv"))).as("c"),
+        (-col("cent_id")).as("nid"))).as("cell"))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nqv"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qc").desc, col("cent_id").asc)
     val qCells = broadcast(q).join(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("cent_id"),
-        cosC(col("qv"), col("cv")).as("qc"))
+      .select(col("query_id"), col("qv"), col("nqv"), col("cent_id"),
+        (dotC(col("qv"), col("cv")) / (col("nqv") * col("ncv"))).as("qc"))
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+      .select(col("query_id"), col("qv"), col("nqv"), col("cent_id").as("cell"))
     broadcast(qCells).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"), col("v"))
+      .select(col("query_id"), col("qv"), col("nqv"),
+        col("vec_id").as("neighbor_id"), col("v"), col("nv"))
   }
 
   def annIvfCandidates(s: SparkSession, dir: String): DataFrame =
@@ -373,7 +385,8 @@ object PipelineQueries {
     // IVF regime, cells are the partition/pruning unit, queries broadcast.
     "ann_ivf_topk" -> ((s, dir) => {
       top5(ivfCandidatesFull(s, dir)
-        .select(col("query_id"), col("neighbor_id"), cosC(col("qv"), col("v")).as("cos")))
+        .select(col("query_id"), col("neighbor_id"),
+          (dotC(col("qv"), col("v")) / (col("nqv") * col("nv"))).as("cos")))
     }),
 
     // ---- text analysis ---------------------------------------------------
