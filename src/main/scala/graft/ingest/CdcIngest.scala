@@ -286,8 +286,14 @@ object CdcIngest {
   private def keyStats(spark: SparkSession, segmentPaths: Seq[String],
       segmentsPerTask: Int = 25): Dataset[KeyAgg] = {
     import spark.implicits._
-    val parallelism = math.max(1,
-      (segmentPaths.size + segmentsPerTask - 1) / segmentsPerTask)
+    // floor at min(#segments, cluster width): a small bulk batch (fewer
+    // than segmentsPerTask segments) would otherwise run the key pass as
+    // ONE task regardless of cluster size. The floor keeps small batches
+    // parallel while large batches stay data-bounded (shuffle volume
+    // invariant across cluster sizes — the scaling property that matters).
+    val parallelism = math.max(1, math.max(
+      (segmentPaths.size + segmentsPerTask - 1) / segmentsPerTask,
+      math.min(segmentPaths.size, spark.sparkContext.defaultParallelism)))
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
@@ -676,9 +682,16 @@ object CdcIngest {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.sequence(segments.map { case (_, p) => Future(segmentHint(p, hconf)) }),
-        Duration.Inf)
+      // BOUNDED fan-out (64 concurrent opens): an unbounded Future.sequence
+      // over the whole batch would open every segment at once from the
+      // driver — harmless at hundreds of segments, a file-handle/memory
+      // risk on a 100k-segment bulk backfill. Each hint is a ~ms header
+      // read, so per-group barriers cost nothing measurable.
+      segments.iterator.grouped(64).flatMap { g =>
+        Await.result(
+          Future.sequence(g.map { case (_, p) => Future(segmentHint(p, hconf)) }),
+          Duration.Inf)
+      }.toSeq
     }
     val batchBytes = hints.map(_._2).sum
     val hintSv: Option[Int] =
@@ -956,14 +969,25 @@ object CdcIngest {
 
   private val SegName = raw"segment-(\d+)\.bin".r
 
-  def listSegments(feedDir: String): Seq[(Long, String)] =
-    Files.list(Paths.get(feedDir)).iterator().asScala
-      .flatMap { p =>
-        p.getFileName.toString match {
-          case SegName(id) => Some(id.toLong -> p.toString)
-          case _           => None
-        }
-      }.toSeq.sortBy(_._1)
+  /** List `feedDir` for WAL segments through the Hadoop FileSystem API —
+    * shared by the batch driver loop and [[StreamingIngest]] — so any
+    * scheme Spark can read (file:, hdfs:, s3a:, …) lists correctly; the
+    * former java.nio listing silently saw an EMPTY feed for non-local
+    * schemes, turning every distributed-deployment ingest into a no-op. */
+  def listSegments(
+      feedDir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Seq[(Long, String)] = {
+    val path = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case SegName(id) => Some(id.toLong -> st.getPath.toString)
+        case _           => None
+      }
+    }.sortBy(_._1)
+  }
 
   /** Ingest all WAL segments newer than the table's checkpoint, in batches.
     * Safe to call repeatedly / after a crash: the watermark in the latest
@@ -974,7 +998,8 @@ object CdcIngest {
       feedDir: String,
       config: IngestConfig = IngestConfig()): Seq[Snapshot] = {
     val watermark = table.currentSnapshot().watermarkSegment
-    val pending = listSegments(feedDir).filter(_._1 > watermark)
+    val pending = listSegments(feedDir, spark.sessionState.newHadoopConf())
+      .filter(_._1 > watermark)
     pending.grouped(config.segmentsPerBatch).map { batch =>
       applyBatch(spark, table, batch, config)
     }.toSeq

@@ -38,24 +38,12 @@ import graft.lake.LakeTable
   */
 object StreamingIngest {
 
-  private val SegName = raw"segment-(\d+)\.bin".r
-
   /** List `feedDir` for WAL segments, driver-side (cheap: one listStatus).
-    * Goes through the Hadoop FileSystem API so any scheme Spark can read
-    * (file:, hdfs:, s3a:, …) lists correctly — a java.nio listing would
-    * silently see an empty feed for non-local schemes. */
+    * Delegates to [[CdcIngest.listSegments]] — ONE scheme-agnostic Hadoop-FS
+    * lister shared by the streaming and batch front-ends. */
   private def listSegments(
-      spark: SparkSession, feedDir: String): Seq[(Long, String)] = {
-    val path = new org.apache.hadoop.fs.Path(feedDir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) Seq.empty
-    else fs.listStatus(path).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case SegName(id) => Some(id.toLong -> st.getPath.toString)
-        case _           => None
-      }
-    }.sortBy(_._1)
-  }
+      spark: SparkSession, feedDir: String): Seq[(Long, String)] =
+    CdcIngest.listSegments(feedDir, spark.sessionState.newHadoopConf())
 
   /** Run a streaming ingest over `feedDir`. With [[Trigger.AvailableNow]]
     * (the default) this drains everything currently in the directory and

@@ -66,11 +66,16 @@ object Exporter {
       if (withChecksums) Some(dirDigest(sums)) else None)
   }
 
-  /** Directory-level aggregate digest (file_utils.py:66-87 parity): sha256
-    * over the SORTED per-file content sha256s — order- and name-independent
-    * (part-file names carry per-run UUIDs), so it is stable across
-    * re-exports of identical content and changes when any part file's
-    * bytes change. */
+  /** Directory-level aggregate digest (CAPABILITY parity with
+    * file_utils.py:66-87 `get_directory_checksum`, deliberately NOT
+    * byte-compatible): the reference hashes raw bytes of all files in
+    * sorted-filename walk order; this digest hashes the SORTED per-file
+    * content sha256s of part files only, making it order- AND
+    * name-independent — required here because Spark part-file names carry
+    * per-run UUIDs, so the reference's name-ordered fold would change
+    * across re-exports of identical content. Stable across re-exports,
+    * changes when any part file's bytes change; never compare it against a
+    * reference-produced digest. */
   def dirDigest(sums: Seq[FileChecksum]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     sums.map(_.sha256).sorted.foreach(h =>

@@ -150,11 +150,13 @@ object PipelineQueries {
   /** IVF parameters — all deterministic integer/IEEE arithmetic so the
     * DuckDB oracle derives the IDENTICAL index from the same data:
     * cells = ⌊4.5·√N⌋ (∝ √N: build cost N·cells stays O(N^1.5), the
-    * standard IVF regime), nprobe = ⌊cells/10⌋ (≈10% scan target),
+    * standard IVF regime), nprobe = ⌊cells/probeDiv⌋ (probeDiv=10 is the
+    * ≈10%-scan tier `ann_ivf_topk`, probeDiv=5 the ≈20%-scan re-rank tier
+    * `ann_ivf_hi` — SAME index, more cells probed then exact-scored),
     * stride = ⌊N/cells⌋ (stratified seed every stride-th vec_id). */
-  private def ivfParams(n: Long): (Long, Long, Long) = {
+  private def ivfParams(n: Long, probeDiv: Int): (Long, Long, Long) = {
     val cells = math.max(1L, math.floor(4.5 * math.floor(math.sqrt(n.toDouble))).toLong)
-    (cells, math.max(1L, cells / 10), math.max(1L, n / cells))
+    (cells, math.max(1L, cells / probeDiv), math.max(1L, n / cells))
   }
 
   /** One deterministic Lloyd iteration in FIXED-POINT arithmetic: cell
@@ -190,10 +192,11 @@ object PipelineQueries {
     * assigned to its nearest refined centroid, each query probing its
     * nprobe nearest cells. Exposed (projected) for Bench's scan-fraction
     * report. */
-  private def ivfCandidatesFull(s: SparkSession, dir: String): DataFrame = {
+  private def ivfCandidatesFull(s: SparkSession, dir: String,
+      probeDiv: Int = 10): DataFrame = {
     val e = embed(s, dir)
       .withColumn("nv", sqrt(dotC(col("v"), col("v"))))
-    val (cells, nprobe, stride) = ivfParams(e.count())
+    val (cells, nprobe, stride) = ivfParams(e.count(), probeDiv)
     val seeds = e
       .filter(col("vec_id") % stride === 0 &&
         floor(col("vec_id") / lit(stride.toDouble)) < cells)
@@ -223,6 +226,9 @@ object PipelineQueries {
 
   def annIvfCandidates(s: SparkSession, dir: String): DataFrame =
     ivfCandidatesFull(s, dir).select(col("query_id"), col("neighbor_id"))
+
+  def annIvfHiCandidates(s: SparkSession, dir: String): DataFrame =
+    ivfCandidatesFull(s, dir, probeDiv = 5).select(col("query_id"), col("neighbor_id"))
 
   private def top5(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -389,6 +395,18 @@ object PipelineQueries {
           (dotC(col("qv"), col("v")) / (col("nqv") * col("nv"))).as("cos")))
     }),
 
+    // IVF high-recall tier: the SAME index, nprobe = cells/5 (≈20% scan) —
+    // probe more cells, then exact-re-rank the larger candidate set.
+    // Measured recall@5 ≥0.85 at sf0.1 (BENCH.md); a second knob on the
+    // standard IVF recall/scan trade-off, not a second index build cost at
+    // query time (the index is a pure function of the data on both
+    // engines, so the oracle stays hash-exact).
+    "ann_ivf_hi" -> ((s, dir) => {
+      top5(ivfCandidatesFull(s, dir, probeDiv = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (dotC(col("qv"), col("v")) / (col("nqv") * col("nv"))).as("cos")))
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "ta_langid" -> ((s, dir) => {
       val ts = split(col("text"), " ")
@@ -454,6 +472,57 @@ object PipelineQueries {
        |agged AS (SELECT doc_id, $vcols FROM tokh GROUP BY doc_id)
        |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM agged""".stripMargin
   }
+
+  /** The IVF oracle, parameterized only by the probe divisor — the index
+    * (params, seeds, one fixed-point Lloyd step, assignment) is identical
+    * across tiers, mirroring [[ivfCandidatesFull]] expression for
+    * expression. */
+  private def ivfOracleSql(probeDiv: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |params AS (SELECT
+       |    GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT)) AS cells,
+       |    GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT) // $probeDiv) AS nprobe,
+       |    GREATEST(1, COUNT(*) // GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT))) AS stride
+       |  FROM e),
+       |seeds AS (
+       |  SELECT CAST(FLOOR(e.vec_id / p.stride) AS INT) AS cent_id, e.v AS cv
+       |  FROM e, params p
+       |  WHERE e.vec_id % p.stride = 0 AND FLOOR(e.vec_id / p.stride) < p.cells),
+       |assign0 AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, s.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.v", "s.cv")} DESC, s.cent_id ASC) AS r
+       |    FROM e, seeds s) WHERE r = 1),
+       |contrib AS (
+       |  SELECT a.cell, gs.i AS pos,
+       |    SUM(CAST(FLOOR(a.v[gs.i] * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+       |    COUNT(*) AS cnt
+       |  FROM assign0 a, UNNEST(generate_series(1, len(a.v))) AS gs(i)
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell AS cent_id, list(CAST(sq AS DOUBLE) / cnt / 1000000.0 ORDER BY pos) AS cv
+       |  FROM contrib GROUP BY cell),
+       |assigned AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.v", "c.cv")} DESC, c.cent_id ASC) AS r
+       |    FROM e, cent c) WHERE r = 1),
+       |qcells AS (
+       |  SELECT x.query_id, x.qv, x.cell FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q.v", "c.cv")} DESC, c.cent_id ASC) AS crank
+       |    FROM e q, cent c WHERE q.vec_id < 10) x, params p WHERE x.crank <= p.nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("p.qv", "a.v")} AS cos
+       |  FROM qcells p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -532,52 +601,8 @@ object PipelineQueries {
          |  SELECT query_id, neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
-    "ann_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |           FROM embeddings),
-         |params AS (SELECT
-         |    GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT)) AS cells,
-         |    GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT) // 10) AS nprobe,
-         |    GREATEST(1, COUNT(*) // GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT))) AS stride
-         |  FROM e),
-         |seeds AS (
-         |  SELECT CAST(FLOOR(e.vec_id / p.stride) AS INT) AS cent_id, e.v AS cv
-         |  FROM e, params p
-         |  WHERE e.vec_id % p.stride = 0 AND FLOOR(e.vec_id / p.stride) < p.cells),
-         |assign0 AS (
-         |  SELECT vec_id, v, cell FROM (
-         |    SELECT e.vec_id, e.v, s.cent_id AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${cosSql("e.v", "s.cv")} DESC, s.cent_id ASC) AS r
-         |    FROM e, seeds s) WHERE r = 1),
-         |contrib AS (
-         |  SELECT a.cell, gs.i AS pos,
-         |    SUM(CAST(FLOOR(a.v[gs.i] * 1000000.0 + 0.5) AS BIGINT)) AS sq,
-         |    COUNT(*) AS cnt
-         |  FROM assign0 a, UNNEST(generate_series(1, len(a.v))) AS gs(i)
-         |  GROUP BY 1, 2),
-         |cent AS (
-         |  SELECT cell AS cent_id, list(CAST(sq AS DOUBLE) / cnt / 1000000.0 ORDER BY pos) AS cv
-         |  FROM contrib GROUP BY cell),
-         |assigned AS (
-         |  SELECT vec_id, v, cell FROM (
-         |    SELECT e.vec_id, e.v, c.cent_id AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${cosSql("e.v", "c.cv")} DESC, c.cent_id ASC) AS r
-         |    FROM e, cent c) WHERE r = 1),
-         |qcells AS (
-         |  SELECT x.query_id, x.qv, x.cell FROM (
-         |    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |        ${cosSql("q.v", "c.cv")} DESC, c.cent_id ASC) AS crank
-         |    FROM e q, cent c WHERE q.vec_id < 10) x, params p WHERE x.crank <= p.nprobe),
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("p.qv", "a.v")} AS cos
-         |  FROM qcells p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id)
-         |SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT query_id, neighbor_id,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "ann_ivf_topk" -> ivfOracleSql(10),
+    "ann_ivf_hi" -> ivfOracleSql(5),
     "ta_langid" ->
       """WITH sc AS (SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of','a'))) AS s_en,

@@ -47,7 +47,12 @@ object DclParser {
     val lines = content.linesIterator.toSeq
     val nonBlank = lines.filter(_.trim.nonEmpty)
     val fixedForm = nonBlank.nonEmpty && nonBlank.forall { l =>
-      l.length > 6 && l.take(6).forall(c => c.isDigit || c == ' ') &&
+      // a line of only a sequence number ('000100' + trailing blanks) is
+      // fixed-form-compatible: requiring length > 6 on EVERY line let one
+      // such line flip the whole file into the free-form fallback, leaving
+      // sequence columns embedded in the DECLARE parse
+      if (l.length <= 6) l.forall(c => c.isDigit || c == ' ')
+      else l.take(6).forall(c => c.isDigit || c == ' ') &&
         " */-Dd".contains(l.charAt(6)) // space, comment, continuation, debug
     }
     if (fixedForm)

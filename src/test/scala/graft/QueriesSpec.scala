@@ -14,8 +14,7 @@ class QueriesSpec extends SparkTestBase {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle without query: ${os.diff(qs)}")
     val rowsOnly = qs.diff(os)
-    assert(rowsOnly == Set("cdc_replay_state", "cdc_decode_stats"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
@@ -31,12 +30,30 @@ class QueriesSpec extends SparkTestBase {
     assert(df.columns.contains("text_fp"))
   }
 
-  test("spot: cdc queries self-certify (digest_match true on every row)") {
-    Seq("cdc_replay_state", "cdc_decode_stats").foreach { q =>
-      val df = SparkEntry.queries(q)(spark, sf)
-      assert(df.filter(!col("digest_match") || !col("row_match")).isEmpty,
-        s"$q: engine state diverges from the independent serial oracle")
-    }
+  test("spot: cdc queries match an in-JVM mirror of their DuckDB oracle") {
+    import org.apache.spark.sql.expressions.Window
+    // the queries dump the generator's truth event stream to TruthDir; the
+    // driver's DuckDB oracle re-folds final state from it — mirror that
+    // fold here in Spark so the contract is test-gated too, not only
+    // round-gated
+    val gotState = SparkEntry.queries("cdc_replay_state")(spark, sf)
+    val truth = spark.read.parquet(graft.queries.SystemQueries.TruthDir)
+    val w = Window.partitionBy("url").orderBy(col("warc_ts").desc, col("seq").desc)
+    val winners = truth.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val expState = winners.filter(col("op") =!= "D")
+      .select(col("url"), col("warc_ts"), col("lang"),
+        md5(col("text").cast("binary")).as("text_fp"),
+        col("fetch_status"), col("content_len"))
+    assert(gotState.exceptAll(expState).isEmpty && expState.exceptAll(gotState).isEmpty,
+      "cdc_replay_state diverges from the truth-stream LWW fold")
+
+    val gotLineage = SparkEntry.queries("cdc_lineage")(spark, sf)
+    val expLineage = winners.groupBy("bucket")
+      .agg(count(lit(1)).as("file_rows"),
+        sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("live_rows"))
+    assert(gotLineage.exceptAll(expLineage).isEmpty &&
+      expLineage.exceptAll(gotLineage).isEmpty,
+      "cdc_lineage diverges from the truth-stream per-bucket fold")
   }
 
   test("spot: q06 orphan count is zero (testdata FKs are consistent)") {
