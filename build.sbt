@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through UNPREFIXED: sbt's default
+// logger strategy prepends "[info] " to every forked stdout line, which is
+// exactly why the round-1 driver bench emitted a JSON line that nothing
+// could parse. With StdoutOutput the bench's bare JSON line reaches the
+// caller verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // local-cluster (executor-mode benchmarking) launches executor JVMs through
 // the in-process standalone Worker, which resolves the launch command via
 // these env vars; without them executor launch fails and the master removes

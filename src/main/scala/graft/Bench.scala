@@ -54,13 +54,29 @@ object Bench {
   }
 
   /** One benchmarked parallelism configuration. Thread mode (`local[k]`)
-    * shares one JVM; executor mode (`local-cluster[n,c,mem]`) launches n
-    * SEPARATE executor JVMs — the sandbox's faithful stand-in for the
+    * shares one JVM; executor mode (`execs` separate executor JVMs via
+    * `local-cluster[n,c,mem]`) is the sandbox's faithful stand-in for the
     * north rule's "N and 4N executors" (each executor has its own heap,
-    * GC and JIT; only the physical memory bus is still shared). */
-  final case class BenchCfg(label: String, master: String, cores: Int) {
-    def isExecutorMode: Boolean = master.startsWith("local-cluster")
+    * GC and JIT; only the physical memory bus is still shared). The
+    * executor heap size is NOT baked in here — it is sized from live
+    * `MemAvailable` at session launch (see [[session]]): round 3's driver
+    * bench was SIGKILLed when 4 pre-touched 9 GiB executors + the sbt
+    * driver heap + a tmpfs feed oversubscribed the shared box. */
+  final case class BenchCfg(label: String, cores: Int,
+      execs: Int = 0, coresEach: Int = 0) {
+    def isExecutorMode: Boolean = execs > 0
   }
+
+  /** Live free-memory read (MB): MemAvailable is the kernel's estimate of
+    * what can be claimed without swapping — it already discounts tmpfs
+    * pages (the /dev/shm bench feed) and co-tenant usage. */
+  private def memAvailableMb(): Long = try {
+    val src = scala.io.Source.fromFile("/proc/meminfo")
+    try src.getLines().collectFirst {
+      case l if l.startsWith("MemAvailable:") => l.split("\\s+")(1).toLong / 1024
+    }.getOrElse(Long.MaxValue)
+    finally src.close()
+  } catch { case _: Exception => Long.MaxValue }
 
   private def session(cfg: BenchCfg): SparkSession = {
     // a config whose app the standalone master removed (noise-window
@@ -69,33 +85,57 @@ object Bench {
     // always build from a clean slate
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // Executor heap sized from LIVE MemAvailable at launch:
+    // min(cap, available/(execs+2)) — the +2 keeps slack for the 16g sbt
+    // driver and the OS. Round 3's fixed 9216 MiB × 4 pre-touched
+    // executors was SIGKILLed (exit 137) when the driver harness's own
+    // processes shared the box; undersized heaps only cost GC time,
+    // oversized ones kill the JVM. MemAvailable already discounts the
+    // tmpfs bench feed.
+    val availMb = if (cfg.isExecutorMode) memAvailableMb() else Long.MaxValue
+    val capMb = sys.env.get("SPARK_GRAFT_EXEC_MEM_MB").map(_.toLong).getOrElse(9216L)
+    val perExecMb =
+      if (!cfg.isExecutorMode) 0L
+      else math.max(1536L, math.min(capMb, availMb / (cfg.execs + 2)))
+    val master =
+      if (!cfg.isExecutorMode) s"local[${cfg.cores}]"
+      else {
+        System.err.println(s"[bench] cfg=${cfg.label}: MemAvailable=${availMb}MB " +
+          s"-> executor heap ${perExecMb}MB x ${cfg.execs}")
+        s"local-cluster[${cfg.execs},${cfg.coresEach},$perExecMb]"
+      }
     val b = SparkSession.builder()
-      .master(cfg.master)
+      .master(master)
       .appName(s"graft-bench-${cfg.label}")
       .config("spark.sql.shuffle.partitions", cfg.cores.toString)
     if (cfg.isExecutorMode) {
       // executor JVMs are launched fresh by the worker: they need the repo
-      // classes on the classpath and a sane heap (the driver's -Xmx does
-      // not apply).
-      // The first executor-mode measurement ran 2g
-      // heaps and spent 44-155s per run in GC (vs 3s at 1x4 on a quiet
-      // host) — executor heap must be comparable per-core to the thread
-      // mode's 16g/32. Pre-touch cost lands in the untimed warm-up run.
-      // CRITICAL sandbox fix: spark.executor.memory only sets -Xmx; without
-      // a matching -Xms the executor heap grows from ~256MB and every
-      // expansion commits+pre-touches pages against the hypervisor — the
-      // measured heap-growth pathology of this box (stage traces showed
-      // 80-500s of "GC" that was heap resizing). Fixed heap = flat GC.
-      val mem = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g")
+      // classes on the classpath and a heap pinned to the local-cluster mem
+      // slot (which only sets -Xmx; the driver's own -Xmx does not apply)
       b.config("spark.executor.extraClassPath",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath)
-        .config("spark.executor.memory", mem)
+        // executor.memory MUST match the worker mem slot and the -Xms pin:
+        // without it executors default to -Xmx1g, and an -Xms above -Xmx
+        // kills the executor JVM at launch (observed: 0 executors ever
+        // registered)
+        .config("spark.executor.memory", s"${perExecMb}m")
+        // NO AlwaysPreTouch here (unlike the driver JVM): measured on this
+        // box, 4 executors pre-touching 9 GiB each sat >90s with zero
+        // output (hypervisor page-commit throughput), so none ever
+        // registered — the same pathology that SIGKILLed round 3 at the
+        // driver. The -Xms pin alone prevents the heap-RESIZE stalls;
+        // untouched pages then fault in during the untimed warm-up feed.
         .config("spark.executor.extraJavaOptions",
-          s"-Xms$mem -XX:+UseG1GC -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages")
+          s"-Xms${perExecMb}m -XX:+UseG1GC -XX:+UseTransparentHugePages")
+        // FAIL FAST on registration: round 3's 4x1 config spun for 6+ min
+        // of "Initial job has not accepted any resources" retries before
+        // the JVM died; if the executors cannot register inside 150s the
+        // config is skipped (awaitExecutors) instead of spiraling
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "180s")
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
         // the host's noise windows starve fresh executor JVMs for minutes;
-        // default heartbeat/launch patience then lets the master remove
-        // the app mid-measurement — be generous, the probe filter already
-        // discards reps measured inside such windows
+        // default heartbeat patience then lets the master remove the app
+        // mid-measurement — be generous once registered
         .config("spark.network.timeout", "300s")
         .config("spark.executor.heartbeatInterval", "30s")
     }
@@ -225,6 +265,23 @@ object Bench {
     System.err.println(s"[bench] bus probe failed: $e"); None
   }
 
+  /** Poll executor registration with a hard deadline: a config whose
+    * executor JVMs cannot come up (thin memory, noise storm) must SKIP —
+    * as one dropped rep via the per-rep crash guard — not retry "Initial
+    * job has not accepted any resources" until the box OOM-kills the
+    * driver (the round-3 bench death). */
+  private def awaitExecutors(spark: SparkSession, n: Int, timeoutSec: Int = 150): Unit = {
+    val deadline = System.nanoTime() + timeoutSec * 1000000000L
+    var up = spark.sparkContext.statusTracker.getExecutorInfos.length - 1 // minus driver
+    while (up < n) {
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"only $up/$n executors registered after ${timeoutSec}s — skipping config")
+      Thread.sleep(500)
+      up = spark.sparkContext.statusTracker.getExecutorInfos.length - 1
+    }
+  }
+
   /** Timed ingest of `feedDir` into a fresh table at the given parallelism.
     * Executor-mode sessions always run the warm-up feed first: it waits for
     * executor registration AND warms their JIT through the same code path. */
@@ -232,6 +289,7 @@ object Bench {
       warmupDir: Option[String]): IngestSample = {
     val spark = session(cfg)
     try {
+      if (cfg.isExecutorMode) awaitExecutors(spark, cfg.execs)
       warmupDir.foreach { wd => // JIT + codegen warm-up through the same path
         val wt = LakeTable.create(tmpDir("benchwarm"), CdcIngest.PagesSchemaV1, buckets)
         CdcIngest.run(spark, wt, wd, IngestConfig(buckets, 16, segmentsPerBatch = 100))
@@ -288,7 +346,7 @@ object Bench {
     // ---- 1. query corpus timings at the driver-provided parallelism ----
     // (SPARK_GRAFT_SKIP_QUERIES=1 skips this section — dev iteration knob)
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
-    lazy val sQ = session(BenchCfg(cpus.toString, s"local[$cpus]", cpus))
+    lazy val sQ = session(BenchCfg(cpus.toString, cpus))
     var annRecall = Map.empty[String, Double] // approx-ANN recall@5 vs brute
     var annScan = Map.empty[String, Double] // measured candidate scan fraction
     val results: Seq[(String, Double)] =
@@ -310,7 +368,7 @@ object Bench {
             .map(r => (r.getLong(0), r.getLong(1))).toSet
         try {
           val brute = pairs("ann_brute_topk")
-          annRecall = Seq("ann_lsh_topk", "ann_ivf_topk").map(q =>
+          annRecall = Seq("ann_lsh_topk", "ann_ivf_topk", "ann_ivf_hi").map(q =>
             q -> pairs(q).intersect(brute).size.toDouble / brute.size).toMap
           // measured scan fraction: candidates actually scored per query,
           // over the N-1 a full scan would score (10 queries)
@@ -320,7 +378,9 @@ object Bench {
             "ann_lsh_topk" ->
               graft.queries.PipelineQueries.annLshCandidates(sQ, sfDir).count() / denom,
             "ann_ivf_topk" ->
-              graft.queries.PipelineQueries.annIvfCandidates(sQ, sfDir).count() / denom)
+              graft.queries.PipelineQueries.annIvfCandidates(sQ, sfDir).count() / denom,
+            "ann_ivf_hi" ->
+              graft.queries.PipelineQueries.annIvfHiCandidates(sQ, sfDir).count() / denom)
         } catch { case e: Throwable => System.err.println(s"[bench] recall: $e") }
         timed
       } catch { case e: Throwable =>
@@ -337,22 +397,37 @@ object Bench {
         s"${spec.eventsPerSegment}-${spec.evolveAtEvent}-${spec.hotDomainWeight}"
       val dir = java.nio.file.Paths.get(Scratch, key)
       val nSegs = (spec.numEvents + spec.eventsPerSegment - 1) / spec.eventsPerSegment
-      val complete = Files.isDirectory(dir) &&
-        Files.list(dir).filter(_.toString.endsWith(".bin")).count() == nSegs
-      if (!complete) {
+      def segCount(d: java.nio.file.Path): Long =
+        if (!Files.isDirectory(d)) -1L
+        else {
+          val st = Files.list(d) // try/finally: the stream holds an open fd
+          try st.filter(_.toString.endsWith(".bin")).count() finally st.close()
+        }
+      if (segCount(dir) == nSegs) dir.toString
+      else {
         val tmp = java.nio.file.Paths.get(tmpDir("feedgen"))
         FeedGen.writeSegments(spec, tmp.toString)
-        try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: Exception => () } // lost a race: another run built it
+        try { Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE); dir.toString }
+        catch { case _: Exception =>
+          // the move can fail for reasons OTHER than losing a build race
+          // (stale partial target, cross-device scratch): re-check the
+          // cache and fall back to the freshly generated dir rather than
+          // silently measuring a short feed
+          if (segCount(dir) == nSegs) dir.toString else tmp.toString
+        }
       }
-      dir.toString
     }
     // 16M events: the round-3 engine applies 4M in ~10 s at 2 cores, which
     // left the ~2.5 s of per-batch driver serial work (collect, commit,
     // footer moves) dominating the scaling ratio; 4x the feed amortizes the
-    // serial fraction below 5% of every config's wall
-    val feedSpec = FeedSpec(seed = 42L, numEvents = 16000000, numUrls = 1600000,
-      eventsPerSegment = 20000, evolveAtEvent = 8000000, hotDomainWeight = 0.3)
+    // serial fraction below 5% of every config's wall.
+    // SPARK_GRAFT_FEED_EVENTS: dev-only shrink knob (the driver never sets
+    // it) — derived knobs keep the url:event ratio and mid-feed evolution.
+    val feedEvents = sys.env.getOrElse("SPARK_GRAFT_FEED_EVENTS", "16000000").toInt
+    val feedSpec = FeedSpec(seed = 42L, numEvents = feedEvents,
+      numUrls = math.max(1000, feedEvents / 10),
+      eventsPerSegment = 20000, evolveAtEvent = feedEvents / 2,
+      hotDomainWeight = 0.3)
     val feedDir = cachedFeed(feedSpec)
     val warmSpec = FeedSpec(seed = 1L, numEvents = 50000, numUrls = 10000,
       eventsPerSegment = 5000)
@@ -366,17 +441,18 @@ object Bench {
     //  - executor mode local-cluster[1|4, 4, mem] — SEPARATE executor
     //    JVMs, the honest stand-in for the north rule's N→4N executors.
     val threadCfgs = Seq(2, 8, nLow, cpus).distinct.sorted
-      .map(c => BenchCfg(c.toString, s"local[$c]", c))
+      .map(c => BenchCfg(c.toString, c))
     // 1-core executors are the headline N→4N pair: 4N lands on 4 TOTAL
     // cores, safely below this VM's measured ~8-12-core memory-bus
     // saturation knee, so the ratio measures the engine rather than the
     // box. The 2-core pair (4N = 8 cores, at the knee) is kept for
-    // transparency with its CPU-inflation factor.
+    // transparency with its CPU-inflation factor. Executor heap is sized
+    // per-launch from MemAvailable (see session()).
     val execCfgs = Seq(
-      BenchCfg("1x1", "local-cluster[1,1,9216]", 1),
-      BenchCfg("4x1", "local-cluster[4,1,9216]", 4),
-      BenchCfg("1x2", "local-cluster[1,2,9216]", 2),
-      BenchCfg("4x2", "local-cluster[4,2,9216]", 8))
+      BenchCfg("1x1", 1, execs = 1, coresEach = 1),
+      BenchCfg("4x1", 4, execs = 4, coresEach = 1),
+      BenchCfg("1x2", 2, execs = 1, coresEach = 2),
+      BenchCfg("4x2", 8, execs = 4, coresEach = 2))
     val skipExec = sys.env.get("SPARK_GRAFT_SKIP_EXEC").contains("1")
     val curve0 = threadCfgs ++ (if (skipExec) Seq.empty else execCfgs)
     // dev knob: SPARK_GRAFT_CURVE="8,4x4" restricts to named configs
@@ -395,7 +471,7 @@ object Bench {
     try timedIngest(threadCfgs.last, warmDir, buckets, None) // JIT warm-up, untimed
     catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: $e") }
     probeSeconds() // probe JIT warm-up
-    for (rep <- 1 to reps; c <- curve) {
+    def runConfigs(cfgs: Seq[BenchCfg]): Unit = for (rep <- 1 to reps; c <- cfgs) {
       val noiseBefore = probeSeconds()
       // executor mode gets a per-session warm-up: fresh executor JVMs must
       // register and JIT before the timed run
@@ -413,6 +489,18 @@ object Bench {
         System.err.println(s"[bench] cfg=${c.label} rep=$rep FAILED (dropped): $e")
       }
     }
+    // bus probe ONCE, before any emission: the partial artifact carries
+    // the hardware decomposition even if a later executor phase dies
+    val bus = busProbe()
+    val busInflation = bus.map { case (s, q) => q / s }
+
+    /** Build + emit the full artifact set (one bare JSON line on stdout,
+      * BENCH_LATEST.json, BENCH.md) from whatever samples exist so far.
+      * Called after the thread phase AND after the executor phase: rounds
+      * 1-3 each lost the whole driver artifact to a single late failure
+      * (teardown throw, SIGKILL) because the one JSON line printed only at
+      * the very end. Labels with no samples render as JSON nulls. */
+    def emitArtifacts(): Unit = {
     // per-config minimum over ALL reps: host noise is strictly additive
     // (co-tenants only ever make a rep SLOWER), so the fastest rep is the
     // cleanest measurement by construction. Round 3 learned the hard way
@@ -432,9 +520,11 @@ object Bench {
     def t(label: String): Option[Double] = best.get(label).map(_.secs)
     def cpuOf(label: String): Option[Double] = best.get(label).map(_.taskCpuSecs)
     /** JSON number or null; NaN/Inf (e.g. 0-valued denominators) → null. */
+    def fnum(v: Double, dec: Int): String = // Locale.ROOT: a comma-decimal
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v)) // locale would emit invalid JSON
     def j(o: Option[Double], decimals: Int = 2): String =
       o.filter(d => !d.isNaN && !d.isInfinite)
-        .map(d => String.format(s"%.${decimals}f", Double.box(d))).getOrElse("null")
+        .map(d => fnum(d, decimals)).getOrElse("null")
     def ratio(a: Option[Double], b: Option[Double]): Option[Double] =
       for (x <- a; y <- b) yield x / y
     val events = if (best.isEmpty) 0L else best.values.map(_.events).max
@@ -446,11 +536,9 @@ object Bench {
     val effExecPair = eff("1x1", "4x1")
     val effExecPair2 = eff("1x2", "4x2")
     val epsHigh = eps(cpus.toString)
-    val bus = busProbe()
-    val busInflation = bus.map { case (s, q) => q / s }
 
     // ---- emit ----
-    val qJson = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+    val qJson = results.map { case (k, v) => s""""$k":${fnum(v, 3)}""" }
       .mkString("{", ",", "}")
     val totalQ = results.map(_._2).sum
     val curveJson = curve.map(c =>
@@ -458,9 +546,9 @@ object Bench {
         s""""task_cpu_sec":${j(cpuOf(c.label), 1)}}""")
       .mkString("{", ",", "}")
     val recallJson = annRecall.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${fnum(v, 3)}""" }.mkString("{", ",", "}")
     val scanJson = annScan.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${fnum(v, 4)}""" }.mkString("{", ",", "}")
     val execJson = if (skipExec) "" else
       s""""executor_pair":{"n_executors":1,"n4_executors":4,"cores_each":1,""" +
         s""""t_n_sec":${j(t("1x1"))},"t_4n_sec":${j(t("4x1"))},""" +
@@ -476,7 +564,7 @@ object Bench {
         s""""hw_efficiency_ceiling":${j(busInflation.map(1.0 / _), 3)}},"""
     val json =
       s"""{"metric":"change_apply_events_per_sec","value":${j(epsHigh, 0)},"unit":"events/sec",""" +
-        s""""queries":$qJson,"queries_total_sec":${f"$totalQ%.2f"},"sf":"$sfDir",""" +
+        s""""queries":$qJson,"queries_total_sec":${fnum(totalQ, 2)},"sf":"$sfDir",""" +
         s""""ann_recall_at5":$recallJson,"ann_scan_fraction":$scanJson,""" +
         s""""scaling":{"events":$events,"curve":$curveJson,""" +
         execJson +
@@ -484,13 +572,15 @@ object Bench {
         s""""n4_cpus":8,"t_4n_sec":${j(t("8"))},"eps_4n":${j(eps("8"), 0)},""" +
         s""""efficiency":${j(effLowPair, 3)},""" +
         s""""efficiency_${nLow}_to_$cpus":${j(effHighPair, 3)}}}"""
-    println(json)
+    println(json) // bare: run/outputStrategy is StdoutOutput (no [info] prefix)
+    try Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"), json + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] BENCH_LATEST write failed: $e") }
 
     // ---- human-readable scaling report ----
     // rows joined with "\n|": stripMargin strips exactly one "|" from the
     // continuation lines, the first row rides the template's own margin
     val curveMd = curve.map(c =>
-      s"| ${c.label} | ${c.master} | ${j(t(c.label))} | ${j(eps(c.label), 0)} | ${j(cpuOf(c.label), 1)} |")
+      s"| ${c.label} | ${if (c.isExecutorMode) s"local-cluster[${c.execs},${c.coresEach},·]" else s"local[${c.cores}]"} | ${j(t(c.label))} | ${j(eps(c.label), 0)} | ${j(cpuOf(c.label), 1)} |")
       .mkString("\n|")
     val md =
       s"""# BENCH — change-apply throughput & scaling (this round)
@@ -608,6 +698,18 @@ object Bench {
          |""".stripMargin
     try Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH.md"), md)
     catch { case e: Exception => System.err.println(s"[bench] BENCH.md write failed: $e") }
+    } // emitArtifacts
+
+    // thread phase first (one JVM, no launch risk), then emit a complete
+    // artifact BEFORE any executor JVMs exist; the executor phase then
+    // re-runs the emission so the final bare JSON line lands last
+    runConfigs(curve.filterNot(_.isExecutorMode))
+    emitArtifacts()
+    val execPhase = curve.filter(_.isExecutorMode)
+    if (execPhase.nonEmpty) {
+      runConfigs(execPhase)
+      emitArtifacts()
+    }
     cleanupScratch()
   }
 }
