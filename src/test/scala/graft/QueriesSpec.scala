@@ -134,11 +134,19 @@ class QueriesSpec extends SparkTestBase {
     val nVec = spark.read.parquet(s"$d/embeddings.parquet").count()
     val denom = 10.0 * (nVec - 1)
     val ivfRecall = pairs("ann_ivf_topk").intersect(brute).size.toDouble / brute.size
+    val hiRecall = pairs("ann_ivf_hi").intersect(brute).size.toDouble / brute.size
     val lshRecall = pairs("ann_lsh_topk").intersect(brute).size.toDouble / brute.size
     val ivfScan = graft.queries.PipelineQueries.annIvfCandidates(spark, d).count() / denom
+    val hiScan = graft.queries.PipelineQueries.annIvfHiCandidates(spark, d).count() / denom
     val lshScan = graft.queries.PipelineQueries.annLshCandidates(spark, d).count() / denom
     assert(ivfRecall >= 0.6, s"ivf recall@5 regressed: $ivfRecall")
     assert(ivfScan <= 0.15, s"ivf scan fraction too high: $ivfScan")
+    // hi tier: measured 0.88 at ~19% scan (sf0.01); floors with slack.
+    // More probes see a SUPERSET of the 10%-tier candidates, so its recall
+    // can never fall below the base tier's — assert that invariant too.
+    assert(hiRecall >= 0.8, s"ivf_hi recall@5 regressed: $hiRecall")
+    assert(hiRecall >= ivfRecall, s"ivf_hi ($hiRecall) below base tier ($ivfRecall)")
+    assert(hiScan <= 0.3, s"ivf_hi scan fraction too high: $hiScan")
     assert(lshRecall >= 0.1, s"lsh recall@5 regressed: $lshRecall")
     assert(lshScan <= 0.15, s"lsh scan fraction too high: $lshScan")
   }
