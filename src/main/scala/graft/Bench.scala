@@ -93,7 +93,13 @@ object Bench {
     // oversized ones kill the JVM. MemAvailable already discounts the
     // tmpfs bench feed.
     val availMb = if (cfg.isExecutorMode) memAvailableMb() else Long.MaxValue
-    val capMb = sys.env.get("SPARK_GRAFT_EXEC_MEM_MB").map(_.toLong).getOrElse(9216L)
+    // 4096m default: G1 with -Xms=-Xmx round-robins regions across the
+    // WHOLE heap before reusing any, so every committed-page cost (the
+    // expensive operation on this guest) scales with heap SIZE, not live
+    // set. The ingest's per-executor live set is small (gc ~1s at 4 cores
+    // over 16M events); a 9216m heap just meant 2.3x more pages to commit
+    // in the untimed warm-up for zero measured GC benefit.
+    val capMb = sys.env.get("SPARK_GRAFT_EXEC_MEM_MB").map(_.toLong).getOrElse(4096L)
     val perExecMb =
       if (!cfg.isExecutorMode) 0L
       else math.max(1536L, math.min(capMb, availMb / (cfg.execs + 2)))
@@ -119,14 +125,19 @@ object Bench {
         // kills the executor JVM at launch (observed: 0 executors ever
         // registered)
         .config("spark.executor.memory", s"${perExecMb}m")
-        // NO AlwaysPreTouch here (unlike the driver JVM): measured on this
-        // box, 4 executors pre-touching 9 GiB each sat >90s with zero
-        // output (hypervisor page-commit throughput), so none ever
-        // registered — the same pathology that SIGKILLed round 3 at the
-        // driver. The -Xms pin alone prevents the heap-RESIZE stalls;
-        // untouched pages then fault in during the untimed warm-up feed.
+        // AlwaysPreTouch WITHOUT TransparentHugePages: THP page commits
+        // run ~5x slower with massive sys time on this guest (6 GiB
+        // pre-touch measured 93 s with THP vs 18 s without — huge-page
+        // faults hit synchronous compaction), which is what kept round 3's
+        // THP+pretouch executors from registering at all. Pretouch must
+        // stay: leaving pages to fault lazily put the commit cost INSIDE
+        // the timed run (G1 with a fixed heap round-robins regions across
+        // the whole heap, so ~the full heap gets touched regardless of
+        // live set) — measured as 3.2x task-CPU inflation at 4x1 and ~50 s
+        // of fake "GC". No-THP pretouch runs on JVM-parallel threads at
+        // startup and completes well inside the registration deadline.
         .config("spark.executor.extraJavaOptions",
-          s"-Xms${perExecMb}m -XX:+UseG1GC -XX:+UseTransparentHugePages")
+          s"-Xms${perExecMb}m -XX:+UseG1GC -XX:+AlwaysPreTouch -XX:-UseTransparentHugePages")
         // FAIL FAST on registration: round 3's 4x1 config spun for 6+ min
         // of "Initial job has not accepted any resources" retries before
         // the JVM died; if the executors cannot register inside 150s the
@@ -270,7 +281,8 @@ object Bench {
     * as one dropped rep via the per-rep crash guard — not retry "Initial
     * job has not accepted any resources" until the box OOM-kills the
     * driver (the round-3 bench death). */
-  private def awaitExecutors(spark: SparkSession, n: Int, timeoutSec: Int = 150): Unit = {
+  private def awaitExecutors(spark: SparkSession, n: Int,
+      timeoutSec: Int = sys.env.getOrElse("SPARK_GRAFT_REG_TIMEOUT", "150").toInt): Unit = {
     val deadline = System.nanoTime() + timeoutSec * 1000000000L
     var up = spark.sparkContext.statusTracker.getExecutorInfos.length - 1 // minus driver
     while (up < n) {
@@ -535,6 +547,18 @@ object Bench {
     val effHighPair = eff(nLow.toString, cpus.toString, cpus.toDouble / nLow)
     val effExecPair = eff("1x1", "4x1")
     val effExecPair2 = eff("1x2", "4x2")
+    // measurement-hygiene flag: a pair efficiency above 1.0 is physically
+    // impossible for this workload and means the N side was measured
+    // inside a noise storm — never report one unannotated
+    def stormFlag(e: Option[Double]): String =
+      if (e.exists(_ > 1.0)) " †" else ""
+    val stormNote =
+      if (Seq(effLowPair, effHighPair, effExecPair, effExecPair2).exists(_.exists(_ > 1.0)))
+        "\n† efficiency >1.0 is a CONTAMINATED measurement: every rep of the" +
+          "\npair's N side ran inside a host noise storm (see the per-rep probe" +
+          "\ncolumns in the run log); treat the pair as unmeasured this run and" +
+          "\nuse the cross-run quiet-host value.\n"
+      else ""
     val epsHigh = eps(cpus.toString)
 
     // ---- emit ----
@@ -607,12 +631,12 @@ object Bench {
          |
          || pair | mode | efficiency |
          ||---|---|---|
-         || N=2 → 4N=8 cores | threads, one JVM | ${j(effLowPair, 3)} |
-         || N=$nLow → 4N=$cpus cores | threads, one JVM | ${j(effHighPair, 3)} |${
+         || N=2 → 4N=8 cores | threads, one JVM | ${j(effLowPair, 3)}${stormFlag(effLowPair)} |
+         || N=$nLow → 4N=$cpus cores | threads, one JVM | ${j(effHighPair, 3)}${stormFlag(effHighPair)} |${
            if (skipExec) "" else
-             f"%n| **N=1 → 4N=4 executors (1 core each, below the bus knee)** | separate executor JVMs (local-cluster) | **${j(effExecPair, 3)}** |" +
-             f"%n| N=1 → 4N=4 executors (2 cores each, 4N at the knee) | separate executor JVMs (local-cluster) | ${j(effExecPair2, 3)} |"}
-         |
+             f"%n|| **N=1 → 4N=4 executors (1 core each, below the bus knee)** | separate executor JVMs (local-cluster) | **${j(effExecPair, 3)}${stormFlag(effExecPair)}** |" +
+             f"%n|| N=1 → 4N=4 executors (2 cores each, 4N at the knee) | separate executor JVMs (local-cluster) | ${j(effExecPair2, 3)}${stormFlag(effExecPair2)} |"}
+         |$stormNote
          |### Executor mode: the hardware floor, measured without Spark
          |
          |Executor-mode (`local-cluster[n,c,mem]`) runs n SEPARATE executor
@@ -654,6 +678,21 @@ object Bench {
          |each executor owns its memory channels the inflation term drops
          |out, projecting ≥0.85 for the same code at N→4N executors.
          |
+         |Executor JVM flags are a measured compromise on this guest
+         |(round 4): `-Xms=-Xmx -XX:+AlwaysPreTouch
+         |-XX:-UseTransparentHugePages`. THP page commits run ~5x slower
+         |here (6 GiB pre-touch: 93 s with THP vs 18 s without; huge-page
+         |faults hit synchronous compaction), so round 3's THP'd 9 GiB
+         |executors could not register under a fail-fast deadline; and
+         |skipping pre-touch entirely moves the page commits INSIDE the
+         |timed run (G1 with a fixed heap touches ~the whole heap
+         |regardless of live set; measured 3.2x task-CPU inflation at 4x1
+         |and ~50 s of fake "GC"). Cross-run note: round 3 measured 0.823
+         |on this pair with THP'd 9216 MiB heaps on a quiet host — the
+         |residual per-run spread is guest page/IO contention (stage
+         |traces show identical shuffle data taking ~10x longer blocked
+         |write time at 4 JVMs), which a real cluster does not share.
+         |
          |Engine-side scaling provisions (all verified by IngestSpec):
          |salted two-phase LWW dedup (hot-key receive volume bounded),
          |key-only dedup pass + broadcast winner-seq filter (loser payloads
@@ -679,6 +718,9 @@ object Bench {
          |`ann_ivf_topk` is the recall tier: ⌊4.5·⌊√N⌋⌋ stratified-seed cells
          |refined by one fixed-point Lloyd iteration, nprobe = cells/10
          |(≈10% scan, build cost O(N^1.5) — the standard IVF regime).
+         |`ann_ivf_hi` probes the SAME index at nprobe = cells/4 (≈25% scan)
+         |and exact-re-ranks the larger candidate set — the round-3 verdict's
+         |recall/scan knob, no extra index cost.
          |`ann_lsh_topk` is the cheap sketch tier: 2 tables × 8 random
          |±1-hyperplane sign bits with Hamming-1 multi-probe (no index
          |build, constant probes). Its recall is geometry-capped on this
