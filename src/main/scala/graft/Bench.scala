@@ -441,7 +441,13 @@ object Bench {
       eventsPerSegment = 20000, evolveAtEvent = feedEvents / 2,
       hotDomainWeight = 0.3)
     val feedDir = cachedFeed(feedSpec)
-    val warmSpec = FeedSpec(seed = 1L, numEvents = 50000, numUrls = 10000,
+    // 400k warm-up (80 segments): executor-mode sessions JIT through this
+    // feed, and the segments are spread over ALL executor JVMs — the old
+    // 10-segment warm-up left 4-executor configs with ~2 segments of JIT
+    // exercise per JVM, so C2 compilation of the decode hot path landed
+    // inside the timed run (an asymmetric CPU tax the 1-executor side,
+    // which got all 10 segments in one JVM, did not pay)
+    val warmSpec = FeedSpec(seed = 1L, numEvents = 400000, numUrls = 40000,
       eventsPerSegment = 5000)
     val warmDir = cachedFeed(warmSpec)
     val buckets = 64

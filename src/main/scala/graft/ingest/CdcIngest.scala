@@ -618,8 +618,11 @@ object CdcIngest {
         max(col("schema_version")).as("_sv"))
     // When the caller needs the output clustered for a downstream join,
     // phase 2's exchange IS that clustering: repartition(n, url) satisfies
-    // the groupBy(url) distribution, so only ONE exchange happens here and
-    // none is needed later (HashPartitioning(url, n) == bucket layout).
+    // the groupBy(url) distribution and none is needed later
+    // (HashPartitioning(url, n) == bucket layout). Total exchanges in this
+    // dedup: exactly two — phase 1's partial-agg'd (url, _salt)
+    // distribution (the skew-defusing one) and this alignment
+    // repartition — pinned by PlanSpec.
     val rep = urlPartitions match {
       case Some(n) => phase1.repartition(n, col("url"))
       case None    => phase1

