@@ -83,6 +83,39 @@ object Exporter {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** REFERENCE-COMPATIBLE directory digest (file_utils.py:66-87
+    * `get_directory_checksum` byte parity): one sha256 fed the raw bytes
+    * of EVERY regular file under `path`, in sorted-relative-filename walk
+    * order. Use this mode only when a digest must interoperate with a
+    * reference-produced one — it is name-dependent (Spark part files
+    * carry per-run UUIDs, so two exports of identical content digest
+    * differently) and inherently sequential (byte order is part of the
+    * contract), so [[dirDigest]] remains the default. Reads through the
+    * Hadoop FS API so any scheme works. */
+  def dirDigestNameOrdered(spark: SparkSession, path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      while (it.hasNext) buf += it.next().getPath
+      buf.sortBy(p => p.toString.stripPrefix(root.toString))
+    }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](1 << 16)
+    files.foreach { p =>
+      val in = fs.open(p)
+      try {
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) md.update(buf, 0, n)
+          n = in.read(buf)
+        }
+      } finally in.close()
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Distributed per-file content digests of an output directory: one
     * binaryFile scan, md5 + sha256 per part file (never on the driver — at
     * cluster scale each executor hashes its own files). Opt-in: it is the

@@ -16,9 +16,12 @@ import graft.multimodal.MediaPipeline
 /** System-level operators: Structured Streaming, multimodal plumbing, and
   * the CDC engine exercised through the harness (SURVEY.md §2.10, §2.11).
   * The cdc_* queries synthesize their own deterministic feed (seed-fixed,
-  * FIXTURES.md) — no DuckDB oracle possible, so the driver records a
-  * rows-only check for them; their real correctness gate is IngestSpec's
-  * serial-oracle comparison. */
+  * FIXTURES.md) AND dump the generator's truth event stream to a fixed
+  * parquet path ([[TruthDir]]), so the driver's DuckDB oracle can
+  * independently re-fold final state / decode stats / per-bucket lineage
+  * with `read_parquet` — every query here is hash-checked, none is
+  * rows-only. IngestSpec's serial-oracle comparison gates the same
+  * contract in-JVM. */
 object SystemQueries {
 
   // ---- structured streaming: availableNow replay → windowed aggregation ----
@@ -222,6 +225,11 @@ object SystemQueries {
     table
   }
 
+  private def finalState(s: SparkSession, table: LakeTable): DataFrame =
+    table.read(s).select(col("url"), col("warc_ts"), col("lang"),
+      md5(col("text").cast("binary")).as("text_fp"),
+      col("fetch_status"), col("content_len"))
+
   /** Final live page state after a full engine replay, hash-compared by the
     * driver against DuckDB's independent LWW fold over the truth stream
     * (per-url byte-identity of extracted text via md5 fingerprints — the
@@ -230,9 +238,28 @@ object SystemQueries {
   def cdcReplay(s: SparkSession, dir: String): DataFrame = {
     writeTruth(s)
     val table = replayTable(s)
-    table.read(s).select(col("url"), col("warc_ts"), col("lang"),
-      md5(col("text").cast("binary")).as("text_fp"),
-      col("fetch_status"), col("content_len"))
+    finalState(s, table)
+  }
+
+  /** Same final-state contract through the STRUCTURED STREAMING front-end
+    * (north rule: "Structured Streaming pipeline … foreachBatch MERGE"):
+    * the feed directory is tailed with the binaryFile stream source under
+    * Trigger.AvailableNow, each micro-batch triggering a contiguous-run
+    * engine apply. Must hash-match the SAME DuckDB oracle as the batch
+    * replay — exactly-once, out-of-order-delivery handling, and the
+    * streaming checkpoint/watermark interplay all collapse into one
+    * driver-checkable equality. */
+  def cdcStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    writeTruth(s)
+    val work = Files.createTempDirectory("cdcs")
+    val feedDir = work.resolve("feed").toString
+    FeedGen.writeSegments(CdcSpec, feedDir)
+    val table = LakeTable.create(work.resolve("table").toString,
+      CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
+    graft.ingest.StreamingIngest.run(s, table, feedDir,
+      IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 2),
+      checkpointDir = Some(work.resolve("ckpt").toString))
+    finalState(s, table)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -249,6 +276,9 @@ object SystemQueries {
     // CDC engine end-to-end: hash-checked vs DuckDB's LWW fold of the truth
     // stream (in-JVM serial-oracle gate additionally in IngestSpec)
     "cdc_replay_state" -> ((s, dir) => cdcReplay(s, dir)),
+
+    // the same contract through Structured Streaming (foreachBatch MERGE)
+    "cdc_stream_replay" -> ((s, dir) => cdcStreamReplay(s, dir)),
 
     // binary WAL decode stats: the codegen'd decode_record path aggregated
     // per (op, schema_version), hash-checked vs DuckDB grouping the truth
@@ -287,6 +317,16 @@ object SystemQueries {
     })
   )
 
+  /** Shared oracle for BOTH replay surfaces (batch + streaming): the
+    * engine's final table state must equal DuckDB's LWW fold of the truth
+    * stream regardless of which front-end drove the merge. */
+  private val ReplayStateSql: String =
+    s"""WITH w AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+       |  FROM read_parquet('$TruthGlob'))
+       |SELECT url, warc_ts, lang, md5(text) AS text_fp, fetch_status, content_len
+       |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "strm_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
@@ -323,12 +363,8 @@ object SystemQueries {
     // TruthDir (see writeTruth) — read back via read_parquet, so DuckDB
     // re-derives final state / decode stats / per-bucket lineage with zero
     // engine code involved.
-    "cdc_replay_state" ->
-      s"""WITH w AS (SELECT *,
-         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
-         |  FROM read_parquet('$TruthGlob'))
-         |SELECT url, warc_ts, lang, md5(text) AS text_fp, fetch_status, content_len
-         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    "cdc_replay_state" -> ReplayStateSql,
+    "cdc_stream_replay" -> ReplayStateSql,
     "cdc_decode_stats" ->
       s"""SELECT op, schema_version, COUNT(*) AS n, MIN(seq) AS min_seq,
          |  MAX(seq) AS max_seq, COUNT(DISTINCT url) AS n_urls

@@ -76,6 +76,26 @@ class ExporterSpec extends SparkTestBase {
     assert(json.contains("\"dir_sha256\" : \"" + r1.dirSha256.get + "\""))
   }
 
+  test("name-ordered dir digest matches the reference byte-for-byte semantics") {
+    // file_utils.py:66-87: one sha256 over raw bytes of all files in
+    // sorted-filename walk order — verified against an independent local
+    // reimplementation over the same directory
+    val dir = java.nio.file.Paths.get(tmpDir("refdig"))
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "second")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "first")
+    val sub = java.nio.file.Files.createDirectories(dir.resolve("sub"))
+    java.nio.file.Files.writeString(sub.resolve("c.txt"), "third")
+    val got = Exporter.dirDigestNameOrdered(spark, dir.toString)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    // sorted by path relative to the root: a.txt, b.txt, sub/c.txt
+    Seq("first", "second", "third").foreach(s => md.update(s.getBytes("UTF-8")))
+    val expected = md.digest().map("%02x".format(_)).mkString
+    assert(got == expected)
+    // name-DEPENDENT by design: renaming a file changes the byte order
+    java.nio.file.Files.move(dir.resolve("a.txt"), dir.resolve("z.txt"))
+    assert(Exporter.dirDigestNameOrdered(spark, dir.toString) != expected)
+  }
+
   test("rows with embedded newlines are counted correctly (observe, not re-read)") {
     import spark.implicits._
     val tricky = Seq(("a", "line1\nline2"), ("b", "x,y\n\"q\"")).toDF("k", "v")
