@@ -699,6 +699,14 @@ object Bench {
          |traces show identical shuffle data taking ~10x longer blocked
          |write time at 4 JVMs), which a real cluster does not share.
          |
+         |Cross-run context for the headline pair (same engine code):
+         |round-4 measured 0.723 on a quiet host and 0.629 inside a noise
+         |storm (faster N side, slower 4N side; per-config cross-run
+         |minima pair to 0.654); round 3 measured 0.823 on a quiet host
+         |with THP'd 9216 MiB executors. The shared guest resolves the
+         |pair to a [0.65, 0.82] band depending on co-tenant load — read
+         |this run's number against its per-rep probe columns in the log.
+         |
          |Engine-side scaling provisions (all verified by IngestSpec):
          |salted two-phase LWW dedup (hot-key receive volume bounded),
          |key-only dedup pass + broadcast winner-seq filter (loser payloads
@@ -748,9 +756,13 @@ object Bench {
     catch { case e: Exception => System.err.println(s"[bench] BENCH.md write failed: $e") }
     } // emitArtifacts
 
-    // thread phase first (one JVM, no launch risk), then emit a complete
-    // artifact BEFORE any executor JVMs exist; the executor phase then
-    // re-runs the emission so the final bare JSON line lands last
+    // staged emission — a valid artifact exists from the earliest useful
+    // moment on: (0) right away with just the query corpus (a driver-side
+    // timeout shorter than the full scaling sweep still gets queries +
+    // recall), (1) after the thread phase (before any executor JVM
+    // exists), (2) after the executor phase, so the final bare JSON line
+    // lands last
+    emitArtifacts()
     runConfigs(curve.filterNot(_.isExecutorMode))
     emitArtifacts()
     val execPhase = curve.filter(_.isExecutorMode)
