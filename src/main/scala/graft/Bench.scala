@@ -78,6 +78,31 @@ object Bench {
     finally src.close()
   } catch { case _: Exception => Long.MaxValue }
 
+  /** Remove a harness-exported SPARK_LOCAL_DIRS from this JVM's own
+    * environment: the env var outranks `spark.local.dir` in Spark's
+    * local-dir resolution for the in-process driver AND the standalone
+    * worker, so an inherited value silently moves ALL shuffle scratch off
+    * tmpfs onto this box's slow virtual /tmp (observed in the round-3
+    * driver run: executor blockmgr dirs under /tmp/spark-local) — the
+    * benchmark would then measure /tmp write contention, not the engine.
+    * Uses the standard unmodifiable-map reflection (build.sbt already
+    * opens java.base/java.util); executors get the tmpfs path explicitly
+    * via spark.executorEnv.SPARK_LOCAL_DIRS either way. */
+  private def clearHostileLocalDirs(): Unit =
+    sys.env.get("SPARK_LOCAL_DIRS").filter(_ != Scratch).foreach { v =>
+      System.err.println(s"[bench] clearing inherited SPARK_LOCAL_DIRS=$v " +
+        s"(would move shuffle scratch off tmpfs)")
+      try {
+        val f = Class.forName("java.util.Collections$UnmodifiableMap")
+          .getDeclaredField("m")
+        f.setAccessible(true)
+        f.get(System.getenv()).asInstanceOf[java.util.Map[String, String]]
+          .remove("SPARK_LOCAL_DIRS")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not clear SPARK_LOCAL_DIRS: $e")
+      }
+    }
+
   private def session(cfg: BenchCfg): SparkSession = {
     // a config whose app the standalone master removed (noise-window
     // executor-launch failures) can leave a stopped-but-registered default
@@ -85,6 +110,7 @@ object Bench {
     // always build from a clean slate
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    clearHostileLocalDirs()
     // Executor heap sized from LIVE MemAvailable at launch:
     // min(cap, available/(execs+2)) — the +2 keeps slack for the 16g sbt
     // driver and the OS. Round 3's fixed 9216 MiB × 4 pre-touched
@@ -142,6 +168,14 @@ object Bench {
         // of "Initial job has not accepted any resources" retries before
         // the JVM died; if the executors cannot register inside 150s the
         // config is skipped (awaitExecutors) instead of spiraling
+        // PIN executor scratch to tmpfs via the executor's OWN environment:
+        // SPARK_LOCAL_DIRS beats every other local-dir source in Spark's
+        // resolution order, so a harness environment that exports its own
+        // SPARK_LOCAL_DIRS (observed: the round-3 driver run left executor
+        // blockmgr dirs on /tmp/spark-local — the SLOW virtual disk this
+        // box has; /tmp write contention is exactly what 4-way shuffle
+        // write amplifies) cannot silently move executor shuffle off tmpfs
+        .config("spark.executorEnv.SPARK_LOCAL_DIRS", Scratch)
         .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "180s")
         .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
         // the host's noise windows starve fresh executor JVMs for minutes;
