@@ -388,6 +388,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nLow = math.max(1, cpus / 4)
+    // A dev-knob invocation (shrunk feed, skipped phases, restricted curve)
+    // is NOT a measurement of record: route its artifacts to scratch so a
+    // half-finished dev run can never overwrite the repo's committed
+    // BENCH.md / BENCH_LATEST.json (round 4 snapshotted exactly that — a
+    // 400k-event, queries-skipped dev artifact full of nulls).
+    val devKnobs = Seq("SPARK_GRAFT_SKIP_QUERIES", "SPARK_GRAFT_FEED_EVENTS",
+      "SPARK_GRAFT_CURVE", "SPARK_GRAFT_SKIP_EXEC", "SPARK_GRAFT_REPS")
+      .filter(sys.env.contains)
+    val artifactDir =
+      if (devKnobs.isEmpty) "/root/repo"
+      else {
+        System.err.println(s"[bench] dev knobs set (${devKnobs.mkString(",")})" +
+          s" — artifacts go to $Scratch, not /root/repo")
+        Scratch
+      }
 
     // ---- 1. query corpus timings at the driver-provided parallelism ----
     // (SPARK_GRAFT_SKIP_QUERIES=1 skips this section — dev iteration knob)
@@ -637,7 +652,7 @@ object Bench {
         s""""efficiency":${j(effLowPair, 3)},""" +
         s""""efficiency_${nLow}_to_$cpus":${j(effHighPair, 3)}}}"""
     println(json) // bare: run/outputStrategy is StdoutOutput (no [info] prefix)
-    try Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"), json + "\n")
+    try Files.writeString(java.nio.file.Paths.get(artifactDir, "BENCH_LATEST.json"), json + "\n")
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LATEST write failed: $e") }
 
     // ---- human-readable scaling report ----
@@ -786,7 +801,7 @@ object Bench {
          |its own centroid and its own cell was always probed; stratified
          |seeding removes the leak and the honest number is below.
          |""".stripMargin
-    try Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH.md"), md)
+    try Files.writeString(java.nio.file.Paths.get(artifactDir, "BENCH.md"), md)
     catch { case e: Exception => System.err.println(s"[bench] BENCH.md write failed: $e") }
     } // emitArtifacts
 
