@@ -538,7 +538,8 @@ object Bench {
     try timedIngest(threadCfgs.last, warmDir, buckets, None) // JIT warm-up, untimed
     catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: $e") }
     probeSeconds() // probe JIT warm-up
-    def runConfigs(cfgs: Seq[BenchCfg]): Unit = for (rep <- 1 to reps; c <- cfgs) {
+    def runConfigs(cfgs: Seq[BenchCfg],
+                   afterSample: () => Unit = () => ()): Unit = for (rep <- 1 to reps; c <- cfgs) {
       val noiseBefore = probeSeconds()
       // executor mode gets a per-session warm-up: fresh executor JVMs must
       // register and JIT before the timed run
@@ -554,6 +555,12 @@ object Bench {
         samples :+= ((c.label, r, noise))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] cfg=${c.label} rep=$rep FAILED (dropped): $e")
+      }
+      // re-emit the artifact set after EVERY sample (string build + two
+      // small file writes, milliseconds, outside the timed region): a kill
+      // at any point loses at most the in-flight config-rep
+      try afterSample() catch { case e: Throwable =>
+        System.err.println(s"[bench] emit after ${c.label} rep=$rep failed: $e")
       }
     }
     // bus probe ONCE, before any emission: the partial artifact carries
@@ -814,17 +821,15 @@ object Bench {
     // staged emission — a valid artifact exists from the earliest useful
     // moment on: (0) right away with just the query corpus (a driver-side
     // timeout shorter than the full scaling sweep still gets queries +
-    // recall), (1) after the thread phase (before any executor JVM
-    // exists), (2) after the executor phase, so the final bare JSON line
-    // lands last
+    // recall), then after EVERY config-rep. The curve runs as ONE
+    // interleaved loop (thread AND executor configs in each rep round):
+    // rep 1 yields a complete curve — including the headline 1x1/4x1
+    // executor pair — within the first few minutes, so a driver-side kill
+    // mid-sweep still leaves a full (single-rep) scaling story in the last
+    // emitted JSON line; later reps only tighten the per-config minima.
     emitArtifacts()
-    runConfigs(curve.filterNot(_.isExecutorMode))
-    emitArtifacts()
-    val execPhase = curve.filter(_.isExecutorMode)
-    if (execPhase.nonEmpty) {
-      runConfigs(execPhase)
-      emitArtifacts()
-    }
+    runConfigs(curve, () => emitArtifacts())
+    emitArtifacts() // final bare JSON line lands last on stdout
     cleanupScratch()
   }
 }
