@@ -149,5 +149,13 @@ class QueriesSpec extends SparkTestBase {
     assert(hiScan <= 0.3, s"ivf_hi scan fraction too high: $hiScan")
     assert(lshRecall >= 0.1, s"lsh recall@5 regressed: $lshRecall")
     assert(lshScan <= 0.15, s"lsh scan fraction too high: $lshScan")
+    // PQ/ADC tier: measured 0.44 at exactly 5% exact scan on sf0.01's 500
+    // vectors (8×15 codebooks are starved at this N — the same code
+    // measures 0.90 at sf0.1's 2000 vectors, pinned in BENCH.md); floor
+    // with slack, and the exact-rerank budget is C/(N-1) by construction.
+    val pqRecall = pairs("ann_pq_topk").intersect(brute).size.toDouble / brute.size
+    val pqScan = graft.queries.PipelineQueries.annPqCandidates(spark, d).count() / denom
+    assert(pqRecall >= 0.35, s"pq recall@5 regressed: $pqRecall")
+    assert(pqScan <= 0.06, s"pq exact-scan fraction too high: $pqScan")
   }
 }
