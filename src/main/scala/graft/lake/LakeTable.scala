@@ -145,6 +145,65 @@ final class LakeTable(val root: Path) {
     readRaw(spark, snap).filter(!col(DeletedCol)).select(cols: _*)
   }
 
+  /** Time-travel read: live rows exactly as of the given committed snapshot
+    * version, through THAT snapshot's schema (a version before an additive
+    * evolution has the narrower column set — Iceberg `VERSION AS OF`
+    * semantics). Snapshot manifests are immutable and data files are never
+    * mutated in place, so this is a plain manifest-driven scan of the old
+    * file set; cost is identical to a current-version read of the same data. */
+  def readAsOf(spark: SparkSession, version: Long): DataFrame = {
+    val snap = readSnapshot(version)
+    val cols = snap.schema.fieldNames.map(col).toSeq
+    readRaw(spark, snap).filter(!col(DeletedCol)).select(cols: _*)
+  }
+
+  /** Buckets whose data-file sets differ between two snapshots. A bucket
+    * with an identical (path, rows) file list cannot contain a logical
+    * change — MERGE rewrites every touched bucket's files under new
+    * version-scoped names — so [[changesBetween]] never has to read it.
+    * (Compaction also renames files, making an untouched bucket *look*
+    * changed; the diff then correctly yields zero rows for it.) */
+  def changedBuckets(from: Snapshot, to: Snapshot): Set[Int] = {
+    def byBucket(s: Snapshot): Map[Int, Seq[(String, Long)]] =
+      s.files.groupBy(_.bucket).view
+        .mapValues(_.map(f => (f.path, f.rows)).sorted).toMap
+    val a = byBucket(from)
+    val b = byBucket(to)
+    (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
+  }
+
+  /** Incremental changelog between two committed versions (Iceberg
+    * `table_changes` analog): one row per key whose VISIBLE state differs,
+    * classified `I` (absent-or-tombstoned before, live after), `U` (live in
+    * both with a different winning `_seq`), `D` (live before, tombstoned
+    * after). Payload columns come from the `to` side (the tombstone row's
+    * nulled payload for `D`), read through the `to` snapshot's schema.
+    *
+    * Scale shape: only [[changedBuckets]] are read on BOTH sides — a batch
+    * touching 1% of buckets diffs 1% of the table regardless of total size —
+    * and the join is a bucket-colocated full-outer on the key (both sides
+    * share the url-hash layout, so AQE plans a shuffle on url that
+    * repartitions only the changed buckets' rows). */
+  def changesBetween(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
+    val s1 = readSnapshot(fromVersion)
+    val s2 = readSnapshot(toVersion)
+    val changed = changedBuckets(s1, s2)
+    val old = readRaw(spark, s1, Some(changed))
+      .select(col("url"), col(SeqCol).as("_seq_old"), col(DeletedCol).as("_del_old"))
+    val neu = readRaw(spark, s2, Some(changed))
+    val payload = s2.schema.fieldNames.filterNot(_ == "url").toSeq
+    val j = neu.join(old, Seq("url"), "full_outer")
+    val liveOld = col("_seq_old").isNotNull && !col("_del_old")
+    val liveNew = col(SeqCol).isNotNull && !col(DeletedCol)
+    val changeOp = when(!liveOld && liveNew, lit("I"))
+      .when(liveOld && liveNew && col(SeqCol) =!= col("_seq_old"), lit("U"))
+      .when(liveOld && !liveNew, lit("D"))
+    j.withColumn("change_op", changeOp)
+      .filter(col("change_op").isNotNull)
+      .select(col("change_op") +: col("url") +: payload.map(col): _*)
+  }
+
   /** Per-commit lineage rows across all snapshots → the `_lineage` metadata
     * table (north rule: per-partition offset ranges, row counts, snapshot ids). */
   def lineage(spark: SparkSession): DataFrame = {

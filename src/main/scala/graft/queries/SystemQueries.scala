@@ -294,6 +294,36 @@ object SystemQueries {
           max(col("seq")).as("max_seq"), countDistinct(col("url")).as("n_urls"))
     }),
 
+    // time travel (Iceberg VERSION AS OF): live state at the FIRST committed
+    // batch (watermark segment 1 → truth events with seq < cut), read
+    // through that snapshot's pre-evolution schema — hash-checked against
+    // DuckDB folding only the truth prefix. Catches stale-manifest reads,
+    // schema-evolution leakage into old versions, and watermark drift.
+    "cdc_time_travel" -> ((s, dir) => {
+      writeTruth(s)
+      val table = replayTable(s)
+      val v1 = table.listVersions().sorted.apply(1)
+      table.readAsOf(s, v1)
+        .select(col("url"), col("warc_ts"), col("lang"),
+          md5(col("text").cast("binary")).as("text_fp"))
+    }),
+
+    // incremental changelog (Iceberg table_changes): per-key visible-state
+    // diff between the first and last committed snapshots, classified
+    // I/U/D, reading ONLY the buckets whose file sets changed — hash-checked
+    // against DuckDB diffing its own prefix fold vs full fold of the truth
+    // stream. Catches lost updates, phantom rewrites of untouched buckets,
+    // misclassified tombstones, and _seq drift.
+    "cdc_changelog" -> ((s, dir) => {
+      writeTruth(s)
+      val table = replayTable(s)
+      val vs = table.listVersions().sorted
+      table.changesBetween(s, vs(1), vs.last)
+        .select(col("change_op"), col("url"), col("warc_ts"), col("lang"),
+          md5(col("text").cast("binary")).as("text_fp"),
+          col("fetch_status"), col("content_len"))
+    }),
+
     // lineage contract under the oracle: per-bucket physical row counts as
     // recorded in the committed snapshot MANIFEST (parquet-footer counts —
     // metadata only, no scan) plus live-row counts from the data, both
@@ -316,6 +346,14 @@ object SystemQueries {
           coalesce(col("live_rows"), lit(0L)).as("live_rows"))
     })
   )
+
+  /** Highest seq (exclusive) applied by the table's FIRST commit:
+    * [[replayTable]] runs with segmentsPerBatch = 2 and segments hold
+    * [[CdcSpec.eventsPerSegment]] sequential seqs each, so snapshot v1's
+    * watermark (segment 1) covers exactly `seq < 2 * eventsPerSegment`.
+    * The time-travel and changelog oracles fold the truth prefix with
+    * this cut. */
+  private val V1CutSeq: Long = CdcSpec.eventsPerSegment.toLong * 2
 
   /** Shared oracle for BOTH replay surfaces (batch + streaming): the
     * engine's final table state must equal DuckDB's LWW fold of the truth
@@ -369,6 +407,46 @@ object SystemQueries {
       s"""SELECT op, schema_version, COUNT(*) AS n, MIN(seq) AS min_seq,
          |  MAX(seq) AS max_seq, COUNT(DISTINCT url) AS n_urls
          |FROM read_parquet('$TruthGlob') GROUP BY 1, 2""".stripMargin,
+    // time travel: the same LWW fold restricted to the truth prefix the
+    // first commit covers (seq < V1CutSeq), pre-evolution column set only
+    "cdc_time_travel" ->
+      s"""WITH w AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+         |  FROM read_parquet('$TruthGlob') WHERE seq < $V1CutSeq)
+         |SELECT url, warc_ts, lang, md5(text) AS text_fp
+         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // changelog: DuckDB diffs its own prefix fold (seq < V1CutSeq) against
+    // the full fold — I = not-visible-before/live-after, U = live in both
+    // with a different winning seq, D = live-before/delete-winner-after.
+    // Payload is the full-fold winner's, nulled for D exactly as the
+    // engine's tombstone rows null it (warc_ts kept).
+    "cdc_changelog" ->
+      s"""WITH t AS (SELECT * FROM read_parquet('$TruthGlob')),
+         |s1 AS (SELECT * FROM (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+         |  FROM t WHERE seq < $V1CutSeq) WHERE rn = 1),
+         |s2 AS (SELECT * FROM (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+         |  FROM t) WHERE rn = 1),
+         |j AS (SELECT s2.url AS url, s2.warc_ts AS warc_ts, s2.lang AS lang,
+         |    s2.text AS text, s2.fetch_status AS fetch_status,
+         |    s2.content_len AS content_len, s2.seq AS seq2, s1.seq AS seq1,
+         |    (s1.url IS NOT NULL AND s1.op <> 'D') AS live1,
+         |    (s2.op <> 'D') AS live2
+         |  FROM s2 LEFT JOIN s1 ON s1.url = s2.url)
+         |SELECT change_op, url, warc_ts, lang, text_fp, fetch_status, content_len
+         |FROM (SELECT
+         |    CASE WHEN NOT live1 AND live2 THEN 'I'
+         |         WHEN live1 AND live2 AND seq2 <> seq1 THEN 'U'
+         |         WHEN live1 AND NOT live2 THEN 'D' END AS change_op,
+         |    url, warc_ts,
+         |    CASE WHEN live2 THEN lang END AS lang,
+         |    CASE WHEN live2 THEN md5(text) END AS text_fp,
+         |    CASE WHEN live2 THEN fetch_status END AS fetch_status,
+         |    CASE WHEN live2 THEN content_len END AS content_len
+         |  FROM j) WHERE change_op IS NOT NULL""".stripMargin,
+
     "cdc_lineage" ->
       s"""WITH w AS (SELECT *,
          |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
