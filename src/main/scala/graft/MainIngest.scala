@@ -29,6 +29,8 @@ object MainIngest {
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets]
         |  MainIngest stream <tableDir> <feedDir> [checkpointDir]
         |  MainIngest compact <tableDir> [tombstoneHorizonIso]
+        |  MainIngest expire  <tableDir> <keepLastSnapshots>
+        |  MainIngest lookup  <tableDir> <url> [url...]
         |  MainIngest export <tableDir> <outDir> [json|csv|parquet] [--checksums]
         |  MainIngest show   <tableDir>
         |  MainIngest run      <registry.json> [manifestPath]
@@ -121,6 +123,28 @@ object MainIngest {
       val snap = CdcIngest.compact(spark, table, horizon)
       println(s"compacted $before -> ${snap.files.size} files at v${snap.version}" +
         horizon.map(h => s" (tombstones before $h dropped)").getOrElse(""))
+      spark.stop()
+
+    // snapshot retention (Iceberg expire_snapshots analog) — pure metadata
+    // + file deletes, no Spark session needed
+    case "expire" :: tableDir :: keep :: Nil =>
+      val table = LakeTable.load(tableDir)
+      val (versions, files) = table.expireSnapshots(keepLast = keep.toInt)
+      println(s"expired ${versions.size} snapshots " +
+        s"(${versions.headOption.getOrElse("-")}..${versions.lastOption.getOrElse("-")}), " +
+        s"deleted ${files.size} data files; " +
+        s"retained: v${table.listVersions().sorted.mkString(", v")}")
+
+    // manifest-planned point lookup: opens only the keys' buckets' files
+    case "lookup" :: tableDir :: url :: more =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      val keys = url :: more
+      val planned = table.lookupFiles(table.currentSnapshot(), keys)
+      println(s"planned ${planned.size} files in " +
+        s"${planned.map(_.bucket).distinct.size} buckets for ${keys.size} keys")
+      table.lookup(spark, keys).show(keys.size, 80)
       spark.stop()
 
     // multi-format snapshot export + run manifest (reference K1-K3/K7 parity)

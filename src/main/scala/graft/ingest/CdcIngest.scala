@@ -848,7 +848,18 @@ object CdcIngest {
     * promise a streaming watermark makes) — an unbounded-late feed must
     * pass None and keep its tombstones. Logical content is otherwise
     * unchanged; committed as a normal snapshot (same watermark), so a
-    * crashed compaction is invisible and a replayed one idempotent. */
+    * crashed compaction is invisible and a replayed one idempotent.
+    *
+    * Compacted files are time-clustered: rows are sorted by `warc_ts`
+    * within each bucket (the within-bucket analog of an Iceberg table sort
+    * order). The bucket layout hashes on url, so an unsorted bucket file's
+    * every parquet row group spans the whole table's time range and a
+    * time-range query reads all of them; after sorted compaction the row
+    * groups' warc_ts min/max stats are disjoint, and Spark's pushed
+    * `warc_ts` range filters skip everything outside the window at the
+    * footer level — at 100 TB that turns "last week's pages" from a full
+    * scan into a row-group-pruned one. Sortedness is pinned by
+    * LakeMaintenanceSpec; one in-task sort at write time is the only cost. */
   def compact(
       spark: SparkSession,
       table: LakeTable,
@@ -869,6 +880,9 @@ object CdcIngest {
     kept
       .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(snap.numBuckets))
       .repartition(snap.numBuckets, col("url")) // partitioning == bucket id
+      // leading BucketCol satisfies the partitioned write's required
+      // ordering, so FileFormatWriter adds NO extra sort of its own
+      .sortWithinPartitions(col(LakeTable.BucketCol), col("warc_ts"), col("url"))
       .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
       .parquet(tmpDir.toString)
     val files = moveDataFiles(spark, table, tmpDir, snap.version + 1)

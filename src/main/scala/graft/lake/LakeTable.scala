@@ -232,6 +232,56 @@ final class LakeTable(val root: Path) {
       "duration_ms", "watermark_segment")
   }
 
+  /** Manifest-planned point lookup: current live rows for the given keys,
+    * reading ONLY the data files of the buckets the keys hash into (the
+    * serving-layer read path of a key-bucketed lake table: at 100 TB /
+    * B buckets a k-key lookup opens at most k buckets' files, never the
+    * table). Bucket ids come from [[LakeTable.bucketOf]] — the driver-side
+    * twin of [[LakeTable.bucketExpr]] — so planning needs no Spark job;
+    * the residual `url IN (...)` filter is pushed to the parquet scan. */
+  def lookup(spark: SparkSession, urls: Seq[String]): DataFrame = {
+    val snap = currentSnapshot()
+    val cols = snap.schema.fieldNames.map(col).toSeq
+    readRaw(spark, snap, Some(lookupBuckets(snap, urls)))
+      .filter(col("url").isin(urls: _*) && !col(DeletedCol))
+      .select(cols: _*)
+  }
+
+  private def lookupBuckets(snap: Snapshot, urls: Seq[String]): Set[Int] =
+    urls.map(u => LakeTable.bucketOf(u, snap.numBuckets)).toSet
+
+  /** The exact file set [[lookup]] will read — exposed so callers (and the
+    * pruning spec) can assert the planned scan, Iceberg `planFiles` style. */
+  def lookupFiles(snap: Snapshot, urls: Seq[String]): Seq[DataFileEntry] = {
+    val bs = lookupBuckets(snap, urls)
+    snap.files.filter(f => bs.contains(f.bucket))
+  }
+
+  /** Expire old snapshots (Iceberg `expire_snapshots` analog): keep the
+    * newest `keepLast` versions, delete the older manifests, then delete
+    * data files referenced ONLY by expired snapshots. A file shared with any
+    * retained snapshot survives, so retained reads (including [[readAsOf]]
+    * within the retention window) are byte-identical before and after; time
+    * travel to an expired version fails on its missing manifest. Expiration
+    * is metadata-first: a crash after the manifest deletes leaves only
+    * orphan data files (invisible, re-collectable), never a torn table.
+    * @return (expired versions, deleted data-file paths) */
+  def expireSnapshots(keepLast: Int): (Seq[Long], Seq[Path]) = {
+    require(keepLast >= 1, s"keepLast must retain the current snapshot, got $keepLast")
+    val versions = listVersions().sorted
+    val (expire, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val keptFiles = keep.flatMap(v => readSnapshot(v).files.map(_.path)).toSet
+    val doomed = expire.flatMap(v => readSnapshot(v).files.map(_.path))
+      .distinct.filterNot(keptFiles.contains)
+    expire.foreach(v => Files.deleteIfExists(snapPath(v)))
+    val deleted = doomed.sorted.map { rel =>
+      val p = root.resolve(rel)
+      Files.deleteIfExists(p)
+      p
+    }
+    (expire, deleted)
+  }
+
   /** Data files not referenced by any snapshot (orphans from crashed batches).
     * Safe to delete; exposed for tests/GC. */
   def orphanFiles(): Seq[Path] = {
@@ -258,6 +308,17 @@ object LakeTable {
     * already bucket-clustered and the write needs no extra shuffle. */
   def bucketExpr(numBuckets: Int): org.apache.spark.sql.Column =
     pmod(hash(col("url")), lit(numBuckets)).cast("int")
+
+  /** Driver-side twin of [[bucketExpr]]: the bucket id of one key, computed
+    * without a Spark job (Spark's Murmur3 with the `hash()` seed 42). Lets
+    * point lookups plan their file set straight from the manifest. Equality
+    * with [[bucketExpr]] is pinned by LakeMaintenanceSpec. */
+  def bucketOf(url: String, numBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(url),
+        org.apache.spark.sql.types.StringType, 42L).toInt
+    ((h % numBuckets) + numBuckets) % numBuckets
+  }
 
   def create(rootDir: String, schema: StructType, numBuckets: Int): LakeTable = {
     val root = Paths.get(rootDir)

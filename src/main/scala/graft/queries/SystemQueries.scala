@@ -324,6 +324,21 @@ object SystemQueries {
           col("fetch_status"), col("content_len"))
     }),
 
+    // manifest-planned point lookup (the serving-layer read path): current
+    // live state for a fixed key set, planned driver-side via bucketOf —
+    // only the keys' buckets' files are opened (pruning asserted by
+    // LakeMaintenanceSpec) — hash-checked against DuckDB folding the truth
+    // stream restricted to the same keys. Catches bucket misplanning (a key
+    // hashed to the wrong bucket returns nothing) and tombstone leakage.
+    "cdc_point_lookup" -> ((s, dir) => {
+      writeTruth(s)
+      val table = replayTable(s)
+      table.lookup(s, LookupUrls)
+        .select(col("url"), col("warc_ts"), col("lang"),
+          md5(col("text").cast("binary")).as("text_fp"),
+          col("fetch_status"), col("content_len"))
+    }),
+
     // lineage contract under the oracle: per-bucket physical row counts as
     // recorded in the committed snapshot MANIFEST (parquet-footer counts —
     // metadata only, no scan) plus live-row counts from the data, both
@@ -354,6 +369,15 @@ object SystemQueries {
     * The time-travel and changelog oracles fold the truth prefix with
     * this cut. */
   private val V1CutSeq: Long = CdcSpec.eventsPerSegment.toLong * 2
+
+  /** Fixed key set for the point-lookup query — deterministic urls from the
+    * feed's own universe (a mix of hot-domain, cold, and high-index keys;
+    * some may be deleted or never inserted at this spec, which the lookup
+    * must surface as absent rows, not wrong rows). */
+  private val LookupUrls: Seq[String] =
+    Seq(0, 7, 20, 33, 199, 399).map(i => FeedGen.urlOf(CdcSpec, i))
+
+  private def sqlUrlList: String = LookupUrls.map(u => s"'$u'").mkString(", ")
 
   /** Shared oracle for BOTH replay surfaces (batch + streaming): the
     * engine's final table state must equal DuckDB's LWW fold of the truth
@@ -446,6 +470,15 @@ object SystemQueries {
          |    CASE WHEN live2 THEN fetch_status END AS fetch_status,
          |    CASE WHEN live2 THEN content_len END AS content_len
          |  FROM j) WHERE change_op IS NOT NULL""".stripMargin,
+
+    // point lookup: the same LWW fold restricted to the fixed key set —
+    // live winners only, exactly what the bucket-planned read must return
+    "cdc_point_lookup" ->
+      s"""WITH w AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+         |  FROM read_parquet('$TruthGlob') WHERE url IN ($sqlUrlList))
+         |SELECT url, warc_ts, lang, md5(text) AS text_fp, fetch_status, content_len
+         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     "cdc_lineage" ->
       s"""WITH w AS (SELECT *,

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.feed.{FeedGen, FeedSpec}
+import graft.ingest.CdcIngest
+import graft.ingest.CdcIngest.IngestConfig
+import graft.lake.LakeTable
+
+/** Table-maintenance surface: driver-side bucket planning (`bucketOf` /
+  * `lookup`), snapshot expiration (`expireSnapshots`, Iceberg
+  * expire_snapshots analog), and the time-clustering contract of sorted
+  * compaction (rows ordered by warc_ts within every compacted bucket file —
+  * what makes parquet row-group min/max skipping selective for time-range
+  * scans on a key-bucketed layout). */
+class LakeMaintenanceSpec extends SparkTestBase {
+
+  private val spec = FeedSpec(seed = 21L, numEvents = 3000, numUrls = 300,
+    eventsPerSegment = 500)
+
+  private def replay(buckets: Int = 8): LakeTable = {
+    val feed = tmpDir("lmfeed")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("lmtbl"), CdcIngest.PagesSchemaV1, buckets)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = buckets, segmentsPerBatch = 2))
+    table
+  }
+
+  test("bucketOf matches bucketExpr for every key shape") {
+    import spark.implicits._
+    val urls = (0 until 300).map(FeedGen.urlOf(spec, _)) ++
+      Seq("", "a", "https://x.example.com/§·ü/path", "exactly-one-char-ж")
+    val viaExpr = urls.toDF("url")
+      .select(col("url"), LakeTable.bucketExpr(8).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    urls.foreach { u =>
+      assert(LakeTable.bucketOf(u, 8) == viaExpr(u), s"bucketOf mismatch for '$u'")
+    }
+  }
+
+  test("lookup: reads only the keys' buckets and returns exactly their live state") {
+    val table = replay()
+    val snap = table.currentSnapshot()
+    val expected = FeedGen.expectedState(FeedGen.events(spec))
+    // one live url, one url the feed never inserted
+    val live = expected.keys.take(3).toSeq
+    val absent = "https://never.example.com/nope"
+    val keys = live :+ absent
+    // pruning: the planned file set covers only the keys' buckets, a strict
+    // subset of the table's files
+    val planned = table.lookupFiles(snap, keys)
+    val wantBuckets = keys.map(LakeTable.bucketOf(_, snap.numBuckets)).toSet
+    assert(planned.map(_.bucket).toSet.subsetOf(wantBuckets))
+    assert(planned.size < snap.files.size,
+      s"lookup planned ${planned.size} of ${snap.files.size} files — no pruning")
+    // correctness vs the serial oracle
+    val got = table.lookup(spark, keys)
+      .select("url", "warc_ts", "text", "lang").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2), r.getString(3)))
+      .toSet
+    val want = live.map(u => expected(u))
+      .map(e => (e.url, e.warcTs, e.text, e.lang)).toSet
+    assert(got == want)
+  }
+
+  test("expireSnapshots: old versions gone, retained state byte-stable, shared files survive") {
+    val table = replay()
+    val before = table.listVersions().sorted
+    assert(before.size >= 3) // create + >=2 batches
+    val curBefore = table.read(spark)
+      .select("url", "warc_ts", "text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    // keep the last TWO snapshots: files the last batch carried over from
+    // its parent are referenced by both a retained and an expired snapshot
+    // and must survive
+    val keep = 2
+    val (expired, deleted) = table.expireSnapshots(keepLast = keep)
+    assert(expired == before.dropRight(keep))
+    assert(table.listVersions().sorted == before.takeRight(keep))
+    // current read is identical
+    val curAfter = table.read(spark)
+      .select("url", "warc_ts", "text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    assert(curAfter == curBefore)
+    // every retained snapshot's file really exists (shared files survived)
+    table.listVersions().foreach { v =>
+      table.readSnapshot(v).files.foreach { f =>
+        assert(Files.exists(table.root.resolve(f.path)), s"retained file ${f.path} deleted")
+      }
+    }
+    // deleted files are gone and were not referenced by retained snapshots
+    val retained = table.listVersions()
+      .flatMap(v => table.readSnapshot(v).files.map(_.path)).toSet
+    deleted.foreach { p =>
+      assert(!Files.exists(p))
+      assert(!retained.contains(table.root.relativize(p).toString))
+    }
+    // time travel to an expired version fails on the missing manifest
+    intercept[Exception](table.readSnapshot(expired.last))
+    // nothing is orphaned: expiration cleaned up completely
+    assert(table.orphanFiles().isEmpty)
+    // retaining less than the current snapshot is rejected
+    intercept[IllegalArgumentException](table.expireSnapshots(0))
+  }
+
+  test("compact: every bucket file is warc_ts-sorted (row-group skipping contract)") {
+    val table = replay()
+    CdcIngest.compact(spark, table)
+    val snap = table.currentSnapshot()
+    assert(snap.files.nonEmpty)
+    assert(snap.files.groupBy(_.bucket).values.forall(_.size == 1),
+      "compaction should leave one file per bucket")
+    snap.files.foreach { f =>
+      val ts = spark.read.parquet(table.root.resolve(f.path).toString)
+        .select("warc_ts").collect().map(_.getTimestamp(0).getTime)
+      val sorted = ts.zip(ts.tail).forall { case (a, b) => a <= b }
+      assert(sorted, s"bucket ${f.bucket} file not time-clustered after compaction")
+    }
+    // logical content unchanged by the sorted rewrite
+    val expected = FeedGen.expectedState(FeedGen.events(spec))
+    val got = table.read(spark)
+      .select("url", "warc_ts", "text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    assert(got == expected.values.map(e => (e.url, e.warcTs, e.text)).toSet)
+  }
+}
