@@ -577,6 +577,45 @@ object PipelineQueries {
       t(s, dir, "documents").select(
         col("doc_id"),
         md5s(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+    }),
+
+    // deterministic split assignment: every doc gets a stable
+    // train/val/test label from a salted id hash — reproducible across
+    // runs and engines, rebalanced only by rotating the salt (the
+    // reproducible-split contract an LLM data pipeline needs; ≈90/5/5 by
+    // hex-prefix range). Pure per-row projection, embarrassingly parallel.
+    "ta_split_assign" -> ((s, dir) => {
+      val hb = substring(md5s(concat(col("doc_id").cast("string"), lit(":v1"))), 1, 2)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(hb < "e6", lit("train")).when(hb < "f3", lit("val"))
+          .otherwise(lit("test")).as("split"))
+    }),
+
+    // held-out decontamination (GPT-3-style 13-gram overlap rule): a train
+    // doc is contaminated iff it shares ANY 13-token shingle with the
+    // held-out set (doc_id % 50 == 0 here). The held-out side is small by
+    // construction (it's the benchmark), so its distinct shingle hashes
+    // broadcast; the train side is swept exactly once (explode +
+    // semi-join) — no self-join, no all-pairs. At 100 TB this is the
+    // standard shape: a broadcast set (or Bloom filter) of benchmark
+    // n-grams against a single pass over the corpus.
+    "dd_decontaminate" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val docs = t(s, dir, "documents").select(col("doc_id"), toks.as("ts"))
+      val sh = docs.select(col("doc_id"),
+        explode(when(size(col("ts")) >= 13,
+          transform(sequence(lit(1), size(col("ts")) - 12),
+            i => md5s(concat_ws(" ", slice(col("ts"), i, lit(13))))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      val held = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
+      val hits = sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(held), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(true))
+      docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
     })
   )
 
@@ -816,6 +855,23 @@ object PipelineQueries {
         |FROM documents GROUP BY lang""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "ta_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 2) < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "dd_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id, md5(array_to_string(ts[i:i+12], ' ')) AS sh
+        |       FROM (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 12, 0))) AS i
+        |             FROM toks)),
+        |held AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN held h ON s.sh = h.sh
+        |         WHERE s.doc_id % 50 <> 0)
+        |SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |WHERE t.doc_id % 50 <> 0""".stripMargin
   )
 }

@@ -74,6 +74,43 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.queries("dd_exact")(spark, sf).count() == expected)
   }
 
+  test("spot: ta_split_assign is deterministic, total, and ~90/5/5") {
+    val a = SparkEntry.queries("ta_split_assign")(spark, sf)
+    val b = SparkEntry.queries("ta_split_assign")(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "split assignment is not deterministic across runs")
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val byS = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.values.sum == n, "split must cover every doc exactly once")
+    // e6/256≈0.898, (f3-e6)/256≈0.051 — wide tolerance for 500-doc jitter
+    assert(byS("train").toDouble / n > 0.8 && byS("train").toDouble / n < 0.95)
+    assert(byS.getOrElse("val", 0L) > 0 && byS.getOrElse("test", 0L) > 0)
+  }
+
+  test("spot: dd_decontaminate flags exactly the train docs sharing a 13-gram with held-out") {
+    // independent oracle: brute-force distinct-shingle intersection per doc
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    def shingles(heldOut: Boolean) = docs
+      .filter(if (heldOut) col("doc_id") % 50 === 0 else col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(
+        when(size(col("ts")) >= 13,
+          transform(sequence(lit(1), size(col("ts")) - 12),
+            i => concat_ws(" ", slice(col("ts"), i, lit(13)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+    val expectedHits = shingles(heldOut = false)
+      .join(shingles(heldOut = true).select("sh").distinct(), Seq("sh"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("dd_decontaminate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val trainIds = docs.filter(col("doc_id") % 50 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet == trainIds, "output must cover exactly the train docs")
+    assert(got.filter(_._2).keySet == expectedHits,
+      "contamination flags diverge from the brute-force shingle oracle")
+  }
+
   test("spot: mm_media_features n_bytes equals utf-8 text length") {
     val got = SparkEntry.queries("mm_media_features")(spark, sf)
       .agg(sum(col("n_bytes"))).head.getLong(0)
