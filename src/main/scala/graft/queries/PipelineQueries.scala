@@ -43,6 +43,28 @@ object PipelineQueries {
       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS i
       |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)))""".stripMargin
 
+  /** MinHash-LSH candidate pairs (da < db): 4 bands of 2 hashes; candidates
+    * share >= 1 band bucket — a banded bucket join, never all-pairs.
+    * localCheckpoint: the self-join would otherwise recompute the signature
+    * aggregation on both sides (exchange reuse is plan-dependent). Unlike
+    * persist() — which leaked cached blocks into the shared session for the
+    * rest of the run, since a lazily returned DataFrame has no unpersist
+    * point — the checkpointed RDD is released by the ContextCleaner once
+    * the result is garbage-collected. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir).localCheckpoint()
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"),
+          md5s(concat(col(s"h${2 * k}"), col(s"h${2 * k + 1}"))).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+  }
+
   /** 8-hash MinHash signature per doc (min of seeded md5 over shingles). */
   private def minhashSig(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir)
@@ -56,6 +78,19 @@ object PipelineQueries {
     s"""WITH $ShinglesSql
        |SELECT doc_id, ${(0 until 8).map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(", ")}
        |FROM sh GROUP BY doc_id""".stripMargin
+
+  // NOTE: must stay BELOW MinhashSigSql — object vals initialize in
+  // declaration order, and interpolating a not-yet-assigned val bakes the
+  // string "null" into the SQL.
+  private val MinhashPairsSql =
+    s"""WITH sig AS ($MinhashSigSql),
+       |banded AS (
+       |  ${(0 until 4).map(k =>
+          s"SELECT doc_id, $k AS band, md5(h${2 * k} || h${2 * k + 1}) AS key FROM sig")
+          .mkString("\n  UNION ALL\n  ")})
+       |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |FROM banded x JOIN banded y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin
 
   /** Document-frequency cap for n-gram Jaccard pair generation: shingles in
     * more than this many docs are stop-shingles, dropped before the
@@ -387,26 +422,7 @@ object PipelineQueries {
 
     "dd_minhash_sig" -> ((s, dir) => minhashSig(s, dir)),
 
-    "dd_minhash_pairs" -> ((s, dir) => {
-      // LSH: 4 bands of 2 hashes; candidates share >= 1 band bucket.
-      // localCheckpoint: the self-join would otherwise recompute the
-      // signature aggregation on both sides (exchange reuse is
-      // plan-dependent). Unlike persist() — which leaked cached blocks into
-      // the shared session for the rest of the run, since a lazily returned
-      // DataFrame has no unpersist point — the checkpointed RDD is released
-      // by the ContextCleaner once the result is garbage-collected.
-      val sig = minhashSig(s, dir).localCheckpoint()
-      val banded = sig.select(col("doc_id"),
-        explode(array((0 until 4).map(k =>
-          struct(lit(k).as("band"),
-            md5s(concat(col(s"h${2 * k}"), col(s"h${2 * k + 1}"))).as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .distinct()
-    }),
+    "dd_minhash_pairs" -> ((s, dir) => minhashPairs(s, dir)),
 
     "dd_simhash" -> ((s, dir) => {
       val tokh = t(s, dir, "documents")
@@ -616,6 +632,64 @@ object PipelineQueries {
       docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
         .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
+    }),
+
+    // Gopher-style intra-document repetition signals: fraction of repeated
+    // words / 2-grams / 3-grams per doc (1 - distinct/total). Pure per-row
+    // array arithmetic — no shuffle, no explode; trivially parallel at any
+    // corpus size. Float parity: both engines compute the identical
+    // double expression 1.0 - (double)distinct/(double)total.
+    "ta_repetition" -> ((s, dir) => {
+      def grams(ts: Column, n: Int): Column =
+        if (n == 1) ts
+        else when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => concat_ws(" ", slice(ts, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      def dupFrac(g: Column): Column = when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+        .otherwise(lit(0.0))
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"),
+          dupFrac(grams(col("ts"), 1)).as("dup_word_frac"),
+          dupFrac(grams(col("ts"), 2)).as("dup_2gram_frac"),
+          dupFrac(grams(col("ts"), 3)).as("dup_3gram_frac"))
+    }),
+
+    // duplicate-cluster resolution: connected components over the MinHash-
+    // LSH candidate pairs, each doc labeled with its component's min doc_id
+    // (the canonical keeper — the "keep one per near-dup cluster" step every
+    // dedup pipeline ends with). Min-label propagation to fixpoint with
+    // lineage truncation per round; LSH near-dup components have tiny
+    // diameter (docs in a cluster share band buckets, so almost-cliques),
+    // so convergence is 2-3 rounds. At 100 TB the same loop runs with
+    // alternating large-star/small-star rounds (O(log n) worst case); the
+    // per-round shuffle is |edges|, never all-pairs, and the convergence
+    // check is a scalar aggregate, not a driver collect of rows.
+    "dd_dup_clusters" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir).localCheckpoint()
+      val edges = pairs.union(pairs.select(col("db"), col("da")))
+        .toDF("u", "v").localCheckpoint()
+      var labels = edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        val prop = edges.join(labels, edges("u") === labels("id"))
+          .select(col("v").as("id"), col("lbl"))
+        val next = labels.union(prop)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        labels = next
+        rounds += 1
+      }
+      require(changed == 0, s"dup-cluster labeling did not converge in $rounds rounds")
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"),
+        (col("id") === col("lbl")).as("keep"))
     })
   )
 
@@ -759,15 +833,18 @@ object PipelineQueries {
          |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
          |WHERE 100 * inter >= 30 * (sa.n + sb.n - inter)""".stripMargin,
     "dd_minhash_sig" -> MinhashSigSql,
-    "dd_minhash_pairs" ->
-      s"""WITH sig AS ($MinhashSigSql),
-         |banded AS (
-         |  ${(0 until 4).map(k =>
-            s"SELECT doc_id, $k AS band, md5(h${2 * k} || h${2 * k + 1}) AS key FROM sig")
-            .mkString("\n  UNION ALL\n  ")})
-         |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-         |FROM banded x JOIN banded y
-         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin,
+    "dd_minhash_pairs" -> MinhashPairsSql,
+    "dd_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
+         |edges AS (SELECT da AS u, db AS v FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |cc(id, lbl) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, c.lbl FROM cc c JOIN edges e ON e.u = c.id WHERE c.lbl < e.v
+         |)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster_rep, (id = MIN(lbl)) AS keep
+         |FROM cc GROUP BY id""".stripMargin,
     "dd_simhash" -> simhashOracle,
     "dd_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -862,6 +939,25 @@ object PipelineQueries {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 2) < 'f3' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "ta_repetition" ->
+      """WITH g AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |n AS (SELECT doc_id, ts,
+        |  list_transform(generate_series(1, len(ts)-1),
+        |    i -> array_to_string(ts[i:i+1], ' ')) AS g2,
+        |  list_transform(generate_series(1, len(ts)-2),
+        |    i -> array_to_string(ts[i:i+2], ' ')) AS g3
+        |  FROM g)
+        |SELECT doc_id,
+        |  CASE WHEN len(ts) > 0 THEN CAST(1.0 AS DOUBLE)
+        |    - CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS dup_word_frac,
+        |  CASE WHEN len(g2) > 0 THEN CAST(1.0 AS DOUBLE)
+        |    - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) > 0 THEN CAST(1.0 AS DOUBLE)
+        |    - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac
+        |FROM n""".stripMargin,
     "dd_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT doc_id, md5(array_to_string(ts[i:i+12], ' ')) AS sh

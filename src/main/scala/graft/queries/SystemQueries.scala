@@ -345,6 +345,23 @@ object SystemQueries {
     // hash-checked against DuckDB independently re-folding the truth stream
     // per bucket. Catches wrong footer accounting, lost/duplicated rows in
     // a bucket, tombstones misfiled as live, and bucket misassignment.
+    // per-domain rollup of the live replay state (the Common-Crawl-shaped
+    // report a web corpus actually gets sliced by): host extracted from the
+    // url, pages/bytes/recency per host. One partial-aggregated groupBy —
+    // map-side combine collapses each hot domain inside every task before
+    // the shuffle, so the Zipf-skewed hot domain costs one row per task,
+    // not one shuffle record per page. Hash-checked vs DuckDB grouping its
+    // own LWW fold of the truth stream.
+    "cdc_domain_stats" -> ((s, dir) => {
+      writeTruth(s)
+      val table = replayTable(s)
+      table.read(s)
+        .groupBy(element_at(split(col("url"), "/"), 3).as("host"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("content_len")).as("total_bytes"),
+          max(col("warc_ts")).as("last_crawl"))
+    }),
+
     "cdc_lineage" -> ((s, dir) => {
       import s.implicits._
       writeTruth(s)
@@ -486,6 +503,17 @@ object SystemQueries {
          |  FROM read_parquet('$TruthGlob'))
          |SELECT bucket, COUNT(*) AS file_rows,
          |  CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS live_rows
-         |FROM w WHERE rn = 1 GROUP BY bucket""".stripMargin
+         |FROM w WHERE rn = 1 GROUP BY bucket""".stripMargin,
+
+    // per-domain rollup of the same LWW fold: host = 3rd '/'-segment of the
+    // url (https://host/...), summed over live winners only
+    "cdc_domain_stats" ->
+      s"""WITH w AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+         |  FROM read_parquet('$TruthGlob'))
+         |SELECT string_split(url, '/')[3] AS host, COUNT(*) AS n_pages,
+         |  CAST(SUM(content_len) AS BIGINT) AS total_bytes,
+         |  MAX(warc_ts) AS last_crawl
+         |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY 1""".stripMargin
   )
 }

@@ -94,6 +94,23 @@ class IngestSpec extends SparkTestBase {
     assertMatchesOracle(table, spec)
   }
 
+  test("listSegments goes through the Hadoop FS API: file: URI lists like a bare path") {
+    val spec = FeedSpec(seed = 23L, numEvents = 1000, numUrls = 100, eventsPerSegment = 250)
+    val feed = mkFeed(spec)
+    val bare = CdcIngest.listSegments(feed)
+    val uri = CdcIngest.listSegments(s"file:$feed")
+    assert(bare.nonEmpty, "bare-path listing must see the feed")
+    assert(uri.map(_._1) == bare.map(_._1),
+      "a file: scheme URI must list the same segments as the bare path " +
+        "(the java.nio lister silently saw an empty feed for any URI scheme)")
+    assert(CdcIngest.listSegments(s"file:$feed-nonexistent").isEmpty)
+    // and the batch driver loop ingests through the URI form end-to-end
+    val table = mkTable()
+    CdcIngest.run(spark, table, s"file:$feed",
+      IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    assertMatchesOracle(table, spec)
+  }
+
   test("exactly-once: crash between data write and commit, then resume") {
     val spec = FeedSpec(seed = 5L, numEvents = 2000, numUrls = 200, eventsPerSegment = 500)
     val table = mkTable()

@@ -47,6 +47,15 @@ class QueriesSpec extends SparkTestBase {
     assert(gotState.exceptAll(expState).isEmpty && expState.exceptAll(gotState).isEmpty,
       "cdc_replay_state diverges from the truth-stream LWW fold")
 
+    val gotDomains = SparkEntry.queries("cdc_domain_stats")(spark, sf)
+    val expDomains = winners.filter(col("op") =!= "D")
+      .groupBy(element_at(split(col("url"), "/"), 3).as("host"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("content_len")).as("total_bytes"),
+        max(col("warc_ts")).as("last_crawl"))
+    assert(gotDomains.exceptAll(expDomains).isEmpty &&
+      expDomains.exceptAll(gotDomains).isEmpty,
+      "cdc_domain_stats diverges from the truth-stream per-host fold")
+
     val gotLineage = SparkEntry.queries("cdc_lineage")(spark, sf)
     val expLineage = winners.groupBy("bucket")
       .agg(count(lit(1)).as("file_rows"),
@@ -109,6 +118,45 @@ class QueriesSpec extends SparkTestBase {
     assert(got.keySet == trainIds, "output must cover exactly the train docs")
     assert(got.filter(_._2).keySet == expectedHits,
       "contamination flags diverge from the brute-force shingle oracle")
+  }
+
+  test("spot: ta_repetition matches an explode/groupBy mirror") {
+    // independent plan: count words/2-grams/3-grams via explode + distinct
+    // counts instead of per-row array arithmetic
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    def mirror(n: Int) = docs
+      .select(col("doc_id"), explode(
+        when(size(col("ts")) >= n,
+          transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+            i => concat_ws(" ", slice(col("ts"), i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy("doc_id")
+      .agg((lit(1.0) - countDistinct(col("g")).cast("double") /
+        count(lit(1)).cast("double")).as(s"f$n"))
+    val exp = mirror(1)
+      .join(mirror(2), Seq("doc_id"), "left").join(mirror(3), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("f1").as("dup_word_frac"),
+        coalesce(col("f2"), lit(0.0)).as("dup_2gram_frac"),
+        coalesce(col("f3"), lit(0.0)).as("dup_3gram_frac"))
+    val got = SparkEntry.queries("ta_repetition")(spark, sf)
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "repetition fractions diverge from the explode/groupBy mirror")
+  }
+
+  test("spot: dd_dup_clusters labels are component-consistent with the LSH pairs") {
+    val pairs = SparkEntry.queries("dd_minhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = SparkEntry.queries("dd_dup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(lbl.keySet == nodes, "labels must cover exactly the paired docs")
+    pairs.foreach { case (a, b) =>
+      assert(lbl(a)._1 == lbl(b)._1, s"pair ($a,$b) split across clusters") }
+    lbl.groupBy(_._2._1).foreach { case (rep, members) =>
+      assert(members.keySet.min == rep, s"cluster $rep rep is not its min doc_id")
+      assert(members(rep)._2 && members.count(_._2._2) == 1,
+        s"cluster $rep must keep exactly its rep") }
   }
 
   test("spot: mm_media_features n_bytes equals utf-8 text length") {
