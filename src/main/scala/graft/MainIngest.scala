@@ -21,6 +21,15 @@ import graft.lake.LakeTable
   */
 object MainIngest {
 
+  private def requireVersions(table: graft.lake.LakeTable, vs: Long*): Unit = {
+    val have = table.listVersions().toSet
+    vs.filterNot(have).foreach { v =>
+      System.err.println(
+        s"no snapshot v$v; available: v${have.toSeq.sorted.mkString(", v")}")
+      sys.exit(2)
+    }
+  }
+
   def usage(): Nothing = {
     System.err.println(
       """usage:
@@ -31,6 +40,8 @@ object MainIngest {
         |  MainIngest compact <tableDir> [tombstoneHorizonIso]
         |  MainIngest expire  <tableDir> <keepLastSnapshots>
         |  MainIngest lookup  <tableDir> <url> [url...]
+        |  MainIngest asof    <tableDir> <version>
+        |  MainIngest changes <tableDir> <fromVersion> <toVersion>
         |  MainIngest export <tableDir> <outDir> [json|csv|parquet] [--checksums]
         |  MainIngest show   <tableDir>
         |  MainIngest run      <registry.json> [manifestPath]
@@ -145,6 +156,33 @@ object MainIngest {
       println(s"planned ${planned.size} files in " +
         s"${planned.map(_.bucket).distinct.size} buckets for ${keys.size} keys")
       table.lookup(spark, keys).show(keys.size, 80)
+      spark.stop()
+
+    // time travel: read the table as of a committed snapshot version,
+    // through that snapshot's own schema (Iceberg VERSION AS OF analog)
+    case "asof" :: tableDir :: version :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      requireVersions(table, version.toLong)
+      val df = table.readAsOf(spark, version.toLong)
+      println(s"v$version: ${df.count()} live rows, " +
+        s"schema [${df.schema.fieldNames.mkString(", ")}]")
+      df.show(10, 60)
+      spark.stop()
+
+    // incremental changelog: I/U/D diff between two committed versions,
+    // reading only buckets whose file sets changed (table_changes analog)
+    case "changes" :: tableDir :: fromV :: toV :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      requireVersions(table, fromV.toLong, toV.toLong)
+      val df = table.changesBetween(spark, fromV.toLong, toV.toLong)
+      val byOp = df.groupBy("change_op").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+      println(s"changes v$fromV -> v$toV: $byOp")
+      df.orderBy("url").show(10, 60)
       spark.stop()
 
     // multi-format snapshot export + run manifest (reference K1-K3/K7 parity)

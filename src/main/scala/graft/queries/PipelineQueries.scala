@@ -43,6 +43,66 @@ object PipelineQueries {
       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS i
       |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)))""".stripMargin
 
+  // shared oracle CTE blocks (NOTE: declared after MinhashPairsSql — object
+  // vals initialize in declaration order)
+  private val DecontamCtesSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id, md5(array_to_string(ts[i:i+12], ' ')) AS sh
+      |       FROM (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 12, 0))) AS i
+      |             FROM toks)),
+      |held AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+      |hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN held h ON s.sh = h.sh
+      |         WHERE s.doc_id % 50 <> 0)""".stripMargin
+
+  /** 13-gram held-out contamination hits: train docs (doc_id % 50 != 0)
+    * sharing any 13-token shingle hash with the held-out set (% 50 == 0).
+    * The held-out side is small by construction (it's the benchmark), so
+    * its distinct shingle hashes BROADCAST; the train side is swept exactly
+    * once (explode + left-semi) — no self-join, no all-pairs. At 100 TB
+    * this is the standard shape: a broadcast set (or Bloom filter) of
+    * benchmark n-grams against a single pass over the corpus.
+    * Input: (doc_id, ts: array of tokens). Returns (doc_id, hit=true). */
+  private def contamHits(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(when(size(col("ts")) >= 13,
+        transform(sequence(lit(1), size(col("ts")) - 12),
+          i => md5s(concat_ws(" ", slice(col("ts"), i, lit(13))))))
+        .otherwise(array().cast("array<string>"))).as("sh"))
+    val held = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(held), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+  }
+
+  /** Duplicate-cluster labels over the MinHash-LSH pairs: (doc_id,
+    * cluster_rep, keep) for every doc appearing in a candidate pair —
+    * min-label propagation to fixpoint (see the dd_dup_clusters entry). */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir).localCheckpoint()
+    val edges = pairs.union(pairs.select(col("db"), col("da")))
+      .toDF("u", "v").localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = edges.join(labels, edges("u") === labels("id"))
+        .select(col("v").as("id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"dup-cluster labeling did not converge in $rounds rounds")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"),
+      (col("id") === col("lbl")).as("keep"))
+  }
+
   /** MinHash-LSH candidate pairs (da < db): 4 bands of 2 hashes; candidates
     * share >= 1 band bucket — a banded bucket join, never all-pairs.
     * localCheckpoint: the self-join would otherwise recompute the signature
@@ -91,6 +151,16 @@ object PipelineQueries {
        |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
        |FROM banded x JOIN banded y
        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin
+
+  private val CcCtesSql =
+    s"""pairs AS ($MinhashPairsSql),
+       |edges AS (SELECT da AS u, db AS v FROM pairs
+       |          UNION ALL SELECT db, da FROM pairs),
+       |cc(id, lbl) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, c.lbl FROM cc c JOIN edges e ON e.u = c.id WHERE c.lbl < e.v
+       |)""".stripMargin
 
   /** Document-frequency cap for n-gram Jaccard pair generation: shingles in
     * more than this many docs are stop-shingles, dropped before the
@@ -617,20 +687,10 @@ object PipelineQueries {
     // standard shape: a broadcast set (or Bloom filter) of benchmark
     // n-grams against a single pass over the corpus.
     "dd_decontaminate" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val docs = t(s, dir, "documents").select(col("doc_id"), toks.as("ts"))
-      val sh = docs.select(col("doc_id"),
-        explode(when(size(col("ts")) >= 13,
-          transform(sequence(lit(1), size(col("ts")) - 12),
-            i => md5s(concat_ws(" ", slice(col("ts"), i, lit(13))))))
-          .otherwise(array().cast("array<string>"))).as("sh"))
-      val held = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
-      val hits = sh.filter(col("doc_id") % 50 =!= 0)
-        .join(broadcast(held), Seq("sh"), "left_semi")
-        .select(col("doc_id")).distinct()
-        .withColumn("hit", lit(true))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
       docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
-        .join(hits, Seq("doc_id"), "left")
+        .join(contamHits(docs), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
     }),
 
@@ -667,29 +727,36 @@ object PipelineQueries {
     // alternating large-star/small-star rounds (O(log n) worst case); the
     // per-round shuffle is |edges|, never all-pairs, and the convergence
     // check is a scalar aggregate, not a driver collect of rows.
-    "dd_dup_clusters" -> ((s, dir) => {
-      val pairs = minhashPairs(s, dir).localCheckpoint()
-      val edges = pairs.union(pairs.select(col("db"), col("da")))
-        .toDF("u", "v").localCheckpoint()
-      var labels = edges.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")).localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 25) {
-        val prop = edges.join(labels, edges("u") === labels("id"))
-          .select(col("v").as("id"), col("lbl"))
-        val next = labels.union(prop)
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
-        labels = next
-        rounds += 1
-      }
-      require(changed == 0, s"dup-cluster labeling did not converge in $rounds rounds")
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"),
-        (col("id") === col("lbl")).as("keep"))
+    "dd_dup_clusters" -> ((s, dir) => dupClusters(s, dir)),
+
+    // the end-product query of the whole pipeline: one audit-friendly
+    // status per document composing held-out carve-out, split assignment,
+    // quality floors, duplicate-cluster resolution, and 13-gram
+    // decontamination — exactly the selection a training run reads. First
+    // failing gate wins (same precedence in both engines); the heavy
+    // inputs (dup losers, contamination hits) are tiny relative to the
+    // corpus and enter as broadcast-size left joins, so the compose cost
+    // is one corpus pass plus the two sub-pipelines.
+    "ta_corpus_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val base = docs.select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        size(array_distinct(col("ts"))).as("n_uniq"))
+      val hb = substring(md5s(concat(col("doc_id").cast("string"), lit(":v1"))), 1, 2)
+      val losers = dupClusters(s, dir).filter(!col("keep"))
+        .select(col("doc_id")).withColumn("is_dup", lit(true))
+      val contam = contamHits(docs)
+      base.join(losers, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("doc_id") % 50 === 0, lit("held_out"))
+            .when(hb >= "e6", lit("not_train"))
+            .when(!(col("n_tokens") >= 5 && col("n_tokens") <= 10000 &&
+              lit(10) * col("n_uniq") >= lit(3) * col("n_tokens")), lit("low_quality"))
+            .when(coalesce(col("is_dup"), lit(false)), lit("duplicate"))
+            .when(coalesce(col("hit"), lit(false)), lit("contaminated"))
+            .otherwise(lit("kept")).as("status"))
     })
   )
 
@@ -835,16 +902,26 @@ object PipelineQueries {
     "dd_minhash_sig" -> MinhashSigSql,
     "dd_minhash_pairs" -> MinhashPairsSql,
     "dd_dup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
-         |edges AS (SELECT da AS u, db AS v FROM pairs
-         |          UNION ALL SELECT db, da FROM pairs),
-         |cc(id, lbl) AS (
-         |  SELECT DISTINCT u, u FROM edges
-         |  UNION
-         |  SELECT e.v, c.lbl FROM cc c JOIN edges e ON e.u = c.id WHERE c.lbl < e.v
-         |)
+      s"""WITH RECURSIVE $CcCtesSql
          |SELECT id AS doc_id, MIN(lbl) AS cluster_rep, (id = MIN(lbl)) AS keep
          |FROM cc GROUP BY id""".stripMargin,
+    "ta_corpus_filter" ->
+      s"""WITH RECURSIVE $CcCtesSql,
+         |$DecontamCtesSql,
+         |losers AS (SELECT id AS doc_id FROM cc GROUP BY id HAVING id <> MIN(lbl)),
+         |base AS (SELECT doc_id, len(ts) AS n_tokens,
+         |         len(list_distinct(ts)) AS n_uniq,
+         |         substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 2) AS hb
+         |         FROM toks)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN doc_id % 50 = 0 THEN 'held_out'
+         |       WHEN hb >= 'e6' THEN 'not_train'
+         |       WHEN NOT (n_tokens >= 5 AND n_tokens <= 10000
+         |                 AND 10 * n_uniq >= 3 * n_tokens) THEN 'low_quality'
+         |       WHEN doc_id IN (SELECT doc_id FROM losers) THEN 'duplicate'
+         |       WHEN doc_id IN (SELECT doc_id FROM hits) THEN 'contaminated'
+         |       ELSE 'kept' END AS status
+         |FROM base""".stripMargin,
     "dd_simhash" -> simhashOracle,
     "dd_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -159,6 +159,31 @@ class QueriesSpec extends SparkTestBase {
         s"cluster $rep must keep exactly its rep") }
   }
 
+  test("spot: ta_corpus_filter agrees with its sub-pipelines doc-by-doc") {
+    val q = SparkEntry.queries
+    val statuses = q("ta_corpus_filter")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val splits = q("ta_split_assign")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val quality = q("ta_quality")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("quality_ok"))).toMap
+    val losers = q("dd_dup_clusters")(spark, sf).collect()
+      .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    val contam = q("dd_decontaminate")(spark, sf).collect()
+      .filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    assert(statuses.keySet == quality.keySet, "filter must cover every doc")
+    statuses.foreach { case (id, st) =>
+      val expected =
+        if (id % 50 == 0) "held_out"
+        else if (splits(id) != "train") "not_train"
+        else if (!quality(id)) "low_quality"
+        else if (losers(id)) "duplicate"
+        else if (contam(id)) "contaminated"
+        else "kept"
+      assert(st == expected, s"doc $id: got $st, sub-pipelines say $expected")
+    }
+  }
+
   test("spot: mm_media_features n_bytes equals utf-8 text length") {
     val got = SparkEntry.queries("mm_media_features")(spark, sf)
       .agg(sum(col("n_bytes"))).head.getLong(0)
