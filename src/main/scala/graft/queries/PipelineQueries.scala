@@ -737,6 +737,23 @@ object PipelineQueries {
     // inputs (dup losers, contamination hits) are tiny relative to the
     // corpus and enter as broadcast-size left joins, so the compose cost
     // is one corpus pass plus the two sub-pipelines.
+    // per-language length distribution (the corpus report a data curator
+    // reads before setting quality floors): exact p50/p90/p99 of token
+    // counts. Exact percentile is a sort-based aggregate — fine per
+    // language group (state is the group's values); at 100 TB swap in
+    // approx_percentile for one-pass bounded state, here exactness buys
+    // DuckDB hash parity (both engines interpolate at rank (n-1)*q over
+    // doubles, so the results are bit-identical).
+    "ta_length_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).cast("double").as("n"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          percentile(col("n"), lit(0.5)).as("p50_tokens"),
+          percentile(col("n"), lit(0.9)).as("p90_tokens"),
+          percentile(col("n"), lit(0.99)).as("p99_tokens"))
+    }),
+
     "ta_corpus_filter" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
@@ -905,6 +922,12 @@ object PipelineQueries {
       s"""WITH RECURSIVE $CcCtesSql
          |SELECT id AS doc_id, MIN(lbl) AS cluster_rep, (id = MIN(lbl)) AS keep
          |FROM cc GROUP BY id""".stripMargin,
+    "ta_length_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5) AS p50_tokens,
+        |  quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.9) AS p90_tokens,
+        |  quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.99) AS p99_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
     "ta_corpus_filter" ->
       s"""WITH RECURSIVE $CcCtesSql,
          |$DecontamCtesSql,

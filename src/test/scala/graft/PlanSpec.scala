@@ -105,6 +105,37 @@ class PlanSpec extends SparkTestBase {
     assert(snap.files.map(_.rows).sum == table.readRaw(spark, snap).count())
   }
 
+  test("ta_repetition: pure per-row projection — zero exchanges") {
+    val plan = planString(SparkEntry.queries("ta_repetition")(spark, sf))
+    val n = shuffleCount(plan)
+    assert(n == 0, s"per-row repetition signals must not shuffle, found $n:\n$plan")
+  }
+
+  test("dd_decontaminate: held-out shingle set is broadcast; one corpus sweep") {
+    val plan = planString(SparkEntry.queries("dd_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"held-out semi-join is not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination plans a product join:\n$plan")
+  }
+
+  test("ta_corpus_filter: composition never plans a cartesian/nested-loop join") {
+    val plan = planString(SparkEntry.queries("ta_corpus_filter")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus filter plans a product join:\n$plan")
+  }
+
+  test("cdc_domain_stats: hot-domain rollup is partially aggregated before its shuffle") {
+    val plan = planString(SparkEntry.queries("cdc_domain_stats")(spark, sf))
+    // two HashAggregate nodes around one exchange = map-side combine: the
+    // Zipf-hot domain is collapsed to one row per task before shuffling
+    val aggs = raw"HashAggregate \(\d+\)".r.findAllIn(
+      plan.split(raw"\+- == Initial Plan ==").head).length
+    assert(aggs >= 2, s"expected partial+final aggregation, found $aggs:\n$plan")
+  }
+
   test("ann queries: probes/queries are broadcast (index side never shuffles to them)") {
     val plan = planString(SparkEntry.queries("ann_ivf_topk")(spark, sf))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
