@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DecimalType
@@ -12,6 +13,7 @@ import graft.ingest.CdcIngest
 import graft.ingest.CdcIngest.IngestConfig
 import graft.lake.LakeTable
 import graft.multimodal.MediaPipeline
+import graft.ops.AsofJoin
 
 /** System-level operators: Structured Streaming, multimodal plumbing, and
   * the CDC engine exercised through the harness (SURVEY.md §2.10, §2.11).
@@ -376,8 +378,69 @@ object SystemQueries {
       manifest.join(live, Seq("bucket"), "left")
         .select(col("bucket"), col("file_rows"),
           coalesce(col("live_rows"), lit(0L)).as("live_rows"))
+    }),
+
+    // SCD Type 2 history: the change stream folded into a slowly-changing
+    // dimension — one row per non-delete event version with its validity
+    // interval [valid_from, valid_to) from lead() over the LWW order
+    // (warc_ts, seq), open interval = current. Delete events emit no row
+    // but CLOSE the prior version's interval (lead is computed before the
+    // filter). One window per url partition — the exact shuffle shape of
+    // the LWW dedup itself, linear in events. Hash-checked vs DuckDB
+    // running the same fold over the truth stream.
+    "cdc_scd2" -> ((s, dir) => {
+      writeTruth(s)
+      val work = Files.createTempDirectory("cdc2")
+      val paths = FeedGen.writeSegments(CdcSpec, work.toString).map(_.toString)
+      val w = Window.partitionBy(col("url"))
+        .orderBy(col("warc_ts").asc, col("seq").asc)
+      CdcIngest.eventsDf(s, paths)
+        .withColumn("valid_to", lead(col("warc_ts"), 1).over(w))
+        .filter(col("op") =!= "D")
+        .select(col("url"), col("seq").as("version_seq"),
+          col("warc_ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"),
+          col("lang"), md5(col("text").cast("binary")).as("text_fp"),
+          col("fetch_status"), col("content_len"))
+    }),
+
+    // point-in-time state via the AsofJoin operator: every url probed at
+    // three fixed event timestamps (the warc_ts of seqs ProbeSeqs — values
+    // both engines can derive exactly). A probe whose as-of winner is a
+    // delete (or that predates the url's first event) keeps its row with
+    // null state — left as-of semantics. The operator shuffles
+    // (probes ∪ events) ONCE on url and sorts within partitions; no
+    // probe × history pair blow-up (see [[graft.ops.AsofJoin]]).
+    "cdc_asof_state" -> ((s, dir) => {
+      writeTruth(s)
+      val work = Files.createTempDirectory("cdca")
+      val paths = FeedGen.writeSegments(CdcSpec, work.toString).map(_.toString)
+      val ev = CdcIngest.eventsDf(s, paths)
+        .select(col("url"), col("seq"), col("warc_ts"), col("op"),
+          col("lang"), md5(col("text").cast("binary")).as("text_fp"),
+          col("fetch_status"), col("content_len"))
+      val probeTs = ev.filter(col("seq").isin(ProbeSeqs: _*))
+        .select(col("warc_ts").as("probe_ts")).distinct()
+      val probes = ev.select(col("url")).distinct()
+        .crossJoin(broadcast(probeTs))
+      val alive = col("asof").isNotNull && col("asof.op") =!= "D"
+      AsofJoin.lastBefore(probes, ev, keys = Seq("url"),
+          leftTs = "probe_ts", rightTs = "warc_ts", tieBreak = Seq("seq"),
+          payload = Seq("op", "seq", "lang", "text_fp", "fetch_status",
+            "content_len"))
+        .select(col("url"), col("probe_ts"),
+          when(alive, col("asof.seq")).as("state_seq"),
+          when(alive, col("asof.lang")).as("lang"),
+          when(alive, col("asof.text_fp")).as("text_fp"),
+          when(alive, col("asof.fetch_status")).as("fetch_status"),
+          when(alive, col("asof.content_len")).as("content_len"))
     })
   )
+
+  /** Probe sequence numbers for [[cdc_asof_state]]: their warc_ts values
+    * are the probe timestamps — exact stream values, so both engines
+    * derive identical probes with no timestamp arithmetic. */
+  private val ProbeSeqs: Seq[Long] = Seq(999L, 1999L, 2999L)
 
   /** Highest seq (exclusive) applied by the table's FIRST commit:
     * [[replayTable]] runs with segmentsPerBatch = 2 and segments hold
@@ -514,6 +577,41 @@ object SystemQueries {
          |SELECT string_split(url, '/')[3] AS host, COUNT(*) AS n_pages,
          |  CAST(SUM(content_len) AS BIGINT) AS total_bytes,
          |  MAX(warc_ts) AS last_crawl
-         |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY 1""".stripMargin
+         |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY 1""".stripMargin,
+
+    // SCD2: the identical lead() fold over the truth stream — delete
+    // events close intervals (lead computed before the op filter)
+    "cdc_scd2" ->
+      s"""WITH t AS (SELECT *,
+         |  LEAD(warc_ts) OVER (PARTITION BY url ORDER BY warc_ts, seq) AS valid_to
+         |  FROM read_parquet('$TruthGlob'))
+         |SELECT url, seq AS version_seq, warc_ts AS valid_from, valid_to,
+         |  (valid_to IS NULL) AS is_current, lang, md5(text) AS text_fp,
+         |  fetch_status, content_len
+         |FROM t WHERE op <> 'D'""".stripMargin,
+
+    // as-of: DuckDB may materialize the (probe, earlier-event) pairs and
+    // rank them — it is the oracle, not the scale path. Winner = greatest
+    // (warc_ts, seq) at or before the probe; delete winners and
+    // never-inserted urls keep the probe row with null state.
+    "cdc_asof_state" ->
+      s"""WITH t AS (SELECT * FROM read_parquet('$TruthGlob')),
+         |pt AS (SELECT DISTINCT warc_ts AS probe_ts FROM t
+         |       WHERE seq IN (${ProbeSeqs.mkString(", ")})),
+         |p AS (SELECT u.url, pt.probe_ts
+         |      FROM (SELECT DISTINCT url FROM t) u CROSS JOIN pt),
+         |c AS (SELECT p.url, p.probe_ts, t.op, t.seq, t.lang,
+         |        md5(t.text) AS text_fp, t.fetch_status, t.content_len,
+         |        ROW_NUMBER() OVER (PARTITION BY p.url, p.probe_ts
+         |          ORDER BY t.warc_ts DESC, t.seq DESC) AS rn
+         |      FROM p JOIN t ON t.url = p.url AND t.warc_ts <= p.probe_ts),
+         |w AS (SELECT * FROM c WHERE rn = 1)
+         |SELECT p.url, p.probe_ts,
+         |  CASE WHEN w.op <> 'D' THEN w.seq END AS state_seq,
+         |  CASE WHEN w.op <> 'D' THEN w.lang END AS lang,
+         |  CASE WHEN w.op <> 'D' THEN w.text_fp END AS text_fp,
+         |  CASE WHEN w.op <> 'D' THEN w.fetch_status END AS fetch_status,
+         |  CASE WHEN w.op <> 'D' THEN w.content_len END AS content_len
+         |FROM p LEFT JOIN w ON w.url = p.url AND w.probe_ts = p.probe_ts""".stripMargin
   )
 }

@@ -141,4 +141,19 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"IVF probe join is not broadcast:\n$plan")
   }
+
+  test("AsofJoin plans zero joins and one key shuffle (union + window, no pair blow-up)") {
+    import spark.implicits._
+    val right = (0 until 100).map(i => (s"k${i % 7}", i.toLong, i.toLong, s"v$i"))
+      .toDF("k", "ts", "seq", "v")
+    val left = (0 until 30).map(i => (s"k${i % 7}", i.toLong * 3))
+      .toDF("k", "pts")
+    val plan = planString(graft.ops.AsofJoin.lastBefore(
+      left, right, Seq("k"), "pts", "ts", Seq("seq"), Seq("v")))
+    assert(!plan.contains("Join"),
+      s"asof must not plan ANY join (probe × history blow-up):\n$plan")
+    assert(shuffleCount(plan) <= 2,
+      s"asof should shuffle each side once onto the key, found more:\n$plan")
+    assert(plan.contains("Window"), s"no window in asof plan:\n$plan")
+  }
 }

@@ -268,4 +268,70 @@ class QueriesSpec extends SparkTestBase {
     assert(pqRecall >= 0.35, s"pq recall@5 regressed: $pqRecall")
     assert(pqScan <= 0.06, s"pq exact-scan fraction too high: $pqScan")
   }
+
+  test("spot: cdc_scd2 intervals are consistent and close over the replay state") {
+    import org.apache.spark.sql.expressions.Window
+    val scd = SparkEntry.queries("cdc_scd2")(spark, sf).cache()
+    try {
+      // intervals per url are chained: each version's valid_to (when set)
+      // is a later-or-equal instant than its valid_from, and versions
+      // ordered by (valid_from, version_seq) never overlap going forward
+      val w = Window.partitionBy("url").orderBy(col("valid_from"), col("version_seq"))
+      val bad = scd
+        .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+        .filter((col("valid_to").isNotNull && col("valid_to") < col("valid_from")) ||
+          (col("next_from").isNotNull && col("next_from") < col("valid_from")))
+        .count()
+      assert(bad == 0L, s"$bad SCD2 intervals are inverted or overlap")
+
+      // exactly the LIVE urls (cdc_replay_state) have one current version,
+      // and that version's fingerprint equals the replayed live state's
+      val cur = scd.filter(col("is_current"))
+      val dupCur = cur.groupBy("url").count().filter(col("count") > 1).count()
+      assert(dupCur == 0L, s"$dupCur urls have more than one current version")
+      val live = SparkEntry.queries("cdc_replay_state")(spark, sf)
+        .select(col("url"), col("warc_ts"), col("text_fp"))
+      val curP = cur.select(col("url"), col("valid_from").as("warc_ts"),
+        col("text_fp"))
+      assert(curP.exceptAll(live).isEmpty && live.exceptAll(curP).isEmpty,
+        "current SCD2 versions diverge from the replayed live state")
+    } finally scd.unpersist()
+  }
+
+  test("spot: cdc_asof_state at the final probe equals the prefix LWW fold") {
+    import org.apache.spark.sql.expressions.Window
+    val asof = SparkEntry.queries("cdc_asof_state")(spark, sf).cache()
+    try {
+      // every (url × probe_ts) pair is present exactly once
+      val truth = spark.read.parquet(graft.queries.SystemQueries.TruthDir)
+      val nUrls = truth.select("url").distinct().count()
+      // probe count derived from the stream, not hard-coded: a probe seq
+      // could in principle be absent (the feed's at-least-once duplicates
+      // re-emit the PRIOR event verbatim, skipping a seq value)
+      val nProbes = truth.filter(col("seq").isin(999L, 1999L, 2999L))
+        .select("warc_ts").distinct().count()
+      val probeTs = asof.select("probe_ts").distinct()
+        .collect().map(_.getTimestamp(0)).sorted
+      assert(nProbes > 0 && probeTs.length == nProbes &&
+        asof.count() == nUrls * nProbes,
+        "asof output must be the full probe grid")
+
+      // at each probe: independent oracle = LWW fold of the truth stream
+      // restricted to warc_ts <= probe (exactly the time-travel contract,
+      // here at an arbitrary instant instead of a commit boundary)
+      val w = Window.partitionBy("url").orderBy(col("warc_ts").desc, col("seq").desc)
+      probeTs.foreach { p =>
+        val exp = truth.filter(col("warc_ts") <= lit(p))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .filter(col("op") =!= "D")
+          .select(col("url"), col("seq").as("state_seq"),
+            md5(col("text").cast("binary")).as("text_fp"))
+        val got = asof.filter(col("probe_ts") === lit(p) &&
+            col("state_seq").isNotNull)
+          .select(col("url"), col("state_seq"), col("text_fp"))
+        assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+          s"asof state at $p diverges from the prefix LWW fold")
+      }
+    } finally asof.unpersist()
+  }
 }
