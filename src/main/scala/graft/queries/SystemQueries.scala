@@ -163,6 +163,82 @@ object SystemQueries {
     s.read.parquet(sinkDir)
   }
 
+  // ---- event-time watermark: late-data drops under the oracle ----
+
+  /** Number of interleaved micro-batches staged for
+    * strm_watermark_drops; also baked into its oracle SQL. */
+  private val WmSlices = 4
+  private val WmDelay = "2 hours"
+
+  /** Windowed aggregation in APPEND mode under a 2-hour event-time
+    * watermark, with the input deliberately delivered OUT of time order so
+    * real late data exists: slice k = rows with event_id % 4 == k, drained
+    * one file per micro-batch in mtime order (the strm_sessions staging
+    * trick). Every slice spans the whole month, so batch 0 already drives
+    * the watermark near the global max and batches 1-3 are mostly late.
+    * Deterministic end-to-end: batch membership is a pure function of
+    * event_id, the watermark sequence is a pure fold over slice maxima,
+    * and append-mode emission fires exactly once per window — so DuckDB
+    * can replay the entire watermark protocol in SQL (see the oracle) and
+    * the driver hash-checks Spark's ACTUAL late-row drop + window-eviction
+    * behavior, not a self-description of it.
+    *
+    * The 4 coalesce(1) slice writes are harness staging, not engine path —
+    * a real deployment's source (Kafka / WAL segments) arrives pre-sliced.
+    * Streaming state is bounded by the watermark: only windows in the
+    * trailing 2-hour horizon stay in the store, exactly the property that
+    * makes this runnable over an unbounded 100-TB stream. */
+  private def strmWatermarkDrops(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(s"$dir/events.parquet")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value"), col("event_id"))
+    val stage = Files.createTempDirectory("wmsrc")
+    (0 until WmSlices).foreach { k =>
+      val tmp = Files.createTempDirectory("wmslice")
+      src.filter(pmod(col("event_id"), lit(WmSlices)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val st = Files.list(tmp) // try/finally: the stream holds an open fd
+      val moved =
+        try {
+          val it = st.iterator()
+          var done = false
+          while (it.hasNext && !done) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              val dst = stage.resolve(f"slice-$k%04d.parquet")
+              Files.move(p, dst)
+              Files.setLastModifiedTime(dst,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  1_000_000_000_000L + k * 60000L))
+              done = true
+            }
+          }
+          done
+        } finally st.close()
+      require(moved, s"slice $k produced no parquet part")
+    }
+    val sch = src.schema
+    val sinkDir = Files.createTempDirectory("wmsink").toString
+    val q = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .withWatermark("ts", WmDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("wmck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir)
+  }
+
   // ---- CDC engine through the harness (deterministic synthesized feed) ----
   private val CdcSpec = FeedSpec(seed = 42L, numEvents = 4000, numUrls = 400,
     eventsPerSegment = 1000, evolveAtEvent = 2000)
@@ -267,6 +343,7 @@ object SystemQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "strm_hourly" -> ((s, dir) => strmHourly(s, dir)),
     "strm_sessions" -> ((s, dir) => strmSessions(s, dir)),
+    "strm_watermark_drops" -> ((s, dir) => strmWatermarkDrops(s, dir)),
 
     // multimodal: binary media column → batched typed decode (stub codec)
     "mm_media_features" -> ((s, dir) => {
@@ -491,6 +568,43 @@ object SystemQueries {
         |      FROM s GROUP BY 1, 2)
         |SELECT user_id, session_start, session_end, n_events FROM g
         |WHERE sid < (SELECT MAX(sid) FROM g g2 WHERE g2.user_id = g.user_id)""".stripMargin,
+    // watermark protocol replayed in SQL: batch b = event_id % 4 (the
+    // staged slice order); the watermark IN EFFECT during batch b is the
+    // max event time of batches <= b-2, floored to Spark's millisecond
+    // watermark precision, minus the 2h delay (NULL = -inf). The TWO-batch
+    // lag is Spark's measured micro-batch mechanics: batch b's watermark
+    // is planned before batch b-1's event-time stats are folded into the
+    // tracker, so stats take effect one batch later than they were seen
+    // (verified empirically: the lag-1 oracle diverges, lag-2 matches
+    // row-for-row at both SFs). A row is DROPPED when its 1h window's end
+    // is not past that watermark (the window's state was already
+    // evicted); a window is EMITTED (once, append mode) iff its end is at
+    // or below the FINAL watermark — AvailableNow keeps running no-data
+    // batches until the watermark stabilizes at global-max - delay. The
+    // result is the aggregate of kept rows over emitted windows — Spark's
+    // actual drop + eviction behavior, derived independently.
+    "strm_watermark_drops" ->
+      """WITH e AS (SELECT ts, event_type, value,
+        |    CAST(event_id % 4 AS INT) AS b,
+        |    date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend
+        |  FROM events),
+        |bm AS (SELECT b, MAX(ts) AS bmax FROM e GROUP BY b),
+        |wmk AS (SELECT b,
+        |    date_trunc('milliseconds', MAX(bmax) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING))
+        |      - INTERVAL 2 HOUR AS wm
+        |  FROM bm),
+        |fin AS (SELECT date_trunc('milliseconds', MAX(ts))
+        |    - INTERVAL 2 HOUR AS wm_final FROM e),
+        |kept AS (SELECT e.* FROM e JOIN wmk USING (b)
+        |  WHERE wmk.wm IS NULL OR e.wend > wmk.wm)
+        |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM kept, fin
+        |WHERE kept.wend <= fin.wm_final
+        |GROUP BY 1, 2""".stripMargin,
+
     "mm_media_features" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

@@ -269,6 +269,41 @@ class QueriesSpec extends SparkTestBase {
     assert(pqScan <= 0.06, s"pq exact-scan fraction too high: $pqScan")
   }
 
+  test("spot: strm_watermark_drops matches the lag-2 watermark fold and drops are real") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val got = SparkEntry.queries("strm_watermark_drops")(spark, sf)
+    // in-JVM mirror of the DuckDB oracle: batch = event_id % 4; operative
+    // drop watermark in batch b = ms-floored max event time of batches
+    // <= b-2 minus the 2h delay; emission cut = global max - 2h
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value"), pmod(col("event_id"), lit(4)).cast("int").as("b"))
+      .withColumn("wend", date_trunc("HOUR", col("ts")) + expr("INTERVAL 1 HOUR"))
+    val lagW = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -2)
+    val wm = ev.groupBy("b").agg(max(col("ts")).as("bmax"))
+      .withColumn("wm",
+        date_trunc("MILLISECOND", max(col("bmax")).over(lagW)) - expr("INTERVAL 2 HOUR"))
+      .select("b", "wm")
+    val wmFinal = ev.agg(
+      (date_trunc("MILLISECOND", max(col("ts"))) - expr("INTERVAL 2 HOUR")).as("f"))
+      .head.getTimestamp(0)
+    val kept = ev.join(wm, Seq("b"))
+      .filter(col("wm").isNull || col("wend") > col("wm"))
+    def fold(rows: org.apache.spark.sql.DataFrame) = rows
+      .filter(col("wend") <= lit(wmFinal))
+      .groupBy(date_trunc("HOUR", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+    val exp = fold(kept)
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "strm_watermark_drops diverges from the lag-2 watermark fold")
+    // lateness must actually bite: the undropped fold has strictly more
+    // (window, type) rows — otherwise this query degenerates to strm_hourly
+    assert(got.count() < fold(ev).count(),
+      "no late rows were dropped — the interleaved staging is not late")
+  }
+
   test("spot: cdc_scd2 intervals are consistent and close over the replay state") {
     import org.apache.spark.sql.expressions.Window
     val scd = SparkEntry.queries("cdc_scd2")(spark, sf).cache()
