@@ -204,6 +204,59 @@ final class LakeTable(val root: Path) {
       .select(col("change_op") +: col("url") +: payload.map(col): _*)
   }
 
+  /** Incremental changelog WITH pre-images (Delta Lake CDF
+    * `update_preimage`/`update_postimage` analog): one row per key whose
+    * visible state differs between the two committed versions, carrying
+    * `change_op` (`I`/`U`/`D`) plus every payload column twice —
+    * `<c>_before` (the `from`-side live value; null for `I`) and
+    * `<c>_after` (the `to`-side live value; null for `D`). This is the
+    * delta shape downstream INCREMENTAL consumers need: a materialized
+    * aggregate can be maintained from (before, after) pairs alone —
+    * `U` contributes `after − before`, `I` contributes `+after`, `D`
+    * contributes `−before` — without ever rescanning the table
+    * (see the `cdc_incr_mview` harness query).
+    *
+    * Pre-images across an additive schema evolution are null-filled: a
+    * column that did not exist in the `from` snapshot's schema has a null
+    * `_before` (typed to the `to` schema), exactly Iceberg/Delta read-time
+    * semantics for old files. Scale shape is [[changesBetween]]'s: only
+    * [[changedBuckets]] are read on either side, and the full-outer key
+    * join shuffles only the changed buckets' rows — delta cost is
+    * proportional to change volume, never table size. Reference analog:
+    * the row-level before/after compare of `data_validator.py:292-337`,
+    * emitted as a consumable stream instead of a report. */
+  def changeDeltas(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
+    val s1 = readSnapshot(fromVersion)
+    val s2 = readSnapshot(toVersion)
+    val changed = changedBuckets(s1, s2)
+    val payload = s2.schema.fieldNames.filterNot(_ == "url").toSeq
+    val oldHas = s1.schema.fieldNames.toSet
+    val old = readRaw(spark, s1, Some(changed)).select(
+      col("url") +: col(SeqCol).as("_seq_old") +: col(DeletedCol).as("_del_old") +:
+        payload.map { c =>
+          val v = if (oldHas(c)) col(c)
+                  else lit(null).cast(s2.schema(c).dataType)
+          v.as(s"${c}_before")
+        }: _*)
+    val neu = readRaw(spark, s2, Some(changed)).select(
+      col("url") +: col(SeqCol) +: col(DeletedCol) +:
+        payload.map(c => col(c).as(s"${c}_after")): _*)
+    val j = neu.join(old, Seq("url"), "full_outer")
+    val liveOld = col("_seq_old").isNotNull && !col("_del_old")
+    val liveNew = col(SeqCol).isNotNull && !col(DeletedCol)
+    val changeOp = when(!liveOld && liveNew, lit("I"))
+      .when(liveOld && liveNew && col(SeqCol) =!= col("_seq_old"), lit("U"))
+      .when(liveOld && !liveNew, lit("D"))
+    // null the non-live side's images so a tombstone's stale payload can
+    // never leak into a consumer's delta arithmetic
+    j.withColumn("change_op", changeOp)
+      .filter(col("change_op").isNotNull)
+      .select(col("change_op") +: col("url") +:
+        (payload.map(c => when(liveOld, col(s"${c}_before")).as(s"${c}_before")) ++
+          payload.map(c => when(liveNew, col(s"${c}_after")).as(s"${c}_after"))): _*)
+  }
+
   /** Per-commit lineage rows across all snapshots → the `_lineage` metadata
     * table (north rule: per-partition offset ranges, row counts, snapshot ids). */
   def lineage(spark: SparkSession): DataFrame = {

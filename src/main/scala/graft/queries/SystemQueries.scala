@@ -511,6 +511,59 @@ object SystemQueries {
           when(alive, col("asof.text_fp")).as("text_fp"),
           when(alive, col("asof.fetch_status")).as("fetch_status"),
           when(alive, col("asof.content_len")).as("content_len"))
+    }),
+
+    // incremental materialized-view maintenance (the "don't recompute
+    // 100 TB" path): a per-host aggregate (live pages, total bytes) is
+    // seeded by ONE full aggregation of the FIRST committed snapshot, then
+    // rolled forward version-by-version from changeDeltas' before/after
+    // images alone — I contributes +after, D contributes −before, U
+    // contributes after−before — so each step's cost ∝ that commit's
+    // change volume (changed buckets only), never table size. The driver
+    // hash-checks the incrementally maintained result against DuckDB's
+    // FULL recompute over the truth stream: the delta classification, the
+    // pre-image plumbing, the evolution null-fill, and the fold arithmetic
+    // all collapse into one equality. max()-style aggregates are NOT
+    // delta-maintainable under deletes (no inverse) — deliberately absent
+    // here; cdc_domain_stats carries last_crawl on the recompute path.
+    "cdc_incr_mview" -> ((s, dir) => {
+      writeTruth(s)
+      val work = Files.createTempDirectory("cdcm")
+      val feedDir = work.resolve("feed").toString
+      FeedGen.writeSegments(CdcSpec, feedDir)
+      val table = LakeTable.create(work.resolve("table").toString,
+        CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
+      // one commit per segment → 4 snapshot versions → 3 incremental steps
+      CdcIngest.run(s, table, feedDir,
+        IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 1))
+      val vs = table.listVersions().sorted
+      def host(c: org.apache.spark.sql.Column) = element_at(split(c, "/"), 3)
+      // bytes column: 0-filled where the pre-evolution schema lacks it, so
+      // base and delta arithmetic agree across the additive evolution
+      def bytesIn(df: DataFrame, c: String): org.apache.spark.sql.Column =
+        if (df.columns.contains(c)) coalesce(col(c), lit(0L)) else lit(0L)
+      val base = table.readAsOf(s, vs(1))
+      var mv = base.groupBy(host(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(bytesIn(base, "content_len")).as("total_bytes"))
+      vs.drop(1).sliding(2).filter(_.size == 2).foreach { pair =>
+        val d = table.changeDeltas(s, pair(0), pair(1))
+        val after = bytesIn(d, "content_len_after")
+        val before = bytesIn(d, "content_len_before")
+        val delta = d.select(host(col("url")).as("host"),
+            when(col("change_op") === "I", 1L)
+              .when(col("change_op") === "D", -1L).otherwise(0L).as("dp"),
+            (when(col("change_op") =!= "D", after).otherwise(lit(0L))
+              - when(col("change_op") =!= "I", before).otherwise(lit(0L))).as("db"))
+          .groupBy("host").agg(sum("dp").as("dp"), sum("db").as("db"))
+        mv = mv.join(delta, Seq("host"), "full_outer")
+          .select(col("host"),
+            (coalesce(col("n_pages"), lit(0L)) + coalesce(col("dp"), lit(0L))).as("n_pages"),
+            (coalesce(col("total_bytes"), lit(0L)) + coalesce(col("db"), lit(0L))).as("total_bytes"))
+          .filter(col("n_pages") > 0)
+          .localCheckpoint() // cut the lineage: each step's plan starts fresh
+      }
+      mv
     })
   )
 
@@ -726,6 +779,19 @@ object SystemQueries {
          |  CASE WHEN w.op <> 'D' THEN w.text_fp END AS text_fp,
          |  CASE WHEN w.op <> 'D' THEN w.fetch_status END AS fetch_status,
          |  CASE WHEN w.op <> 'D' THEN w.content_len END AS content_len
-         |FROM p LEFT JOIN w ON w.url = p.url AND w.probe_ts = p.probe_ts""".stripMargin
+         |FROM p LEFT JOIN w ON w.url = p.url AND w.probe_ts = p.probe_ts""".stripMargin,
+
+    // incremental MV: the oracle is the FULL recompute over the truth
+    // stream's LWW fold — equality proves the engine's version-by-version
+    // delta fold (changeDeltas pre/post-images) reconstructed it exactly.
+    // COALESCE(content_len, 0) mirrors the engine's 0-fill (pre-evolution
+    // rows have no content_len); SUM(BIGINT) is HUGEINT in DuckDB → cast.
+    "cdc_incr_mview" ->
+      s"""WITH w AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+         |  FROM read_parquet('$TruthGlob'))
+         |SELECT string_split(url, '/')[3] AS host, COUNT(*) AS n_pages,
+         |  CAST(SUM(COALESCE(content_len, 0)) AS BIGINT) AS total_bytes
+         |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY 1""".stripMargin
   )
 }

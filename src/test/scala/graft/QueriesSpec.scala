@@ -304,6 +304,22 @@ class QueriesSpec extends SparkTestBase {
       "no late rows were dropped — the interleaved staging is not late")
   }
 
+  test("spot: cdc_incr_mview incremental fold equals a full recompute of the truth") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("cdc_incr_mview")(spark, sf)
+    // full recompute straight off the truth stream the query dumped —
+    // independent of the lake's delta path the query actually took
+    val w = Window.partitionBy("url").orderBy(col("warc_ts").desc, col("seq").desc)
+    val exp = spark.read.parquet(graft.queries.SystemQueries.TruthDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(element_at(split(col("url"), "/"), 3).as("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(coalesce(col("content_len"), lit(0L))).as("total_bytes"))
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "incrementally maintained MV diverges from the full recompute")
+  }
+
   test("spot: cdc_scd2 intervals are consistent and close over the replay state") {
     import org.apache.spark.sql.expressions.Window
     val scd = SparkEntry.queries("cdc_scd2")(spark, sf).cache()

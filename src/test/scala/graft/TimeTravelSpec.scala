@@ -97,6 +97,41 @@ class TimeTravelSpec extends SparkTestBase {
     assert(all.filter(col("change_op") =!= "I").count() == 0)
   }
 
+  test("changeDeltas: pre/post-images match the serial-oracle folds") {
+    val table = replay()
+    val vs = table.listVersions().sorted
+    val w1 = winnerFold(FeedGen.events(spec).take(cut))
+    val w2 = winnerFold(FeedGen.events(spec))
+    val d = table.changeDeltas(spark, vs(1), vs.last)
+      .select("change_op", "url", "warc_ts_before", "warc_ts_after",
+        "text_before", "text_after", "content_len_before", "content_len_after")
+      .collect()
+    // classification agrees with changesBetween on the same version pair
+    val keyed = d.map(r => (r.getString(1), r.getString(0))).toSet
+    val cb = table.changesBetween(spark, vs(1), vs.last)
+      .select("url", "change_op").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keyed == cb)
+    // all three classes exercised by this feed
+    assert(d.map(_.getString(0)).toSet == Set("I", "U", "D"))
+    d.foreach { r =>
+      val (op, url) = (r.getString(0), r.getString(1))
+      r.getString(0) match {
+        case "I" => // no live pre-image: before side all null
+          assert(r.isNullAt(2) && r.isNullAt(4) && r.isNullAt(6), s"I $url has a pre-image")
+          assert(r.getTimestamp(3) == w2(url).warcTs && r.getString(5) == w2(url).text)
+        case "D" => // no live post-image; pre-image = the old live winner
+          assert(r.isNullAt(3) && r.isNullAt(5) && r.isNullAt(7), s"D $url has a post-image")
+          assert(r.getTimestamp(2) == w1(url).warcTs && r.getString(4) == w1(url).text)
+        case "U" => // both images live, each matching its fold's winner
+          assert(r.getTimestamp(2) == w1(url).warcTs && r.getString(4) == w1(url).text)
+          assert(r.getTimestamp(3) == w2(url).warcTs && r.getString(5) == w2(url).text)
+          // evolution null-fill: the pre-evolution winner has no content_len
+          if (w1(url).schemaVersion < RecordCodec.SchemaV2) assert(r.isNullAt(6))
+      }
+    }
+  }
+
   test("changesBetween: a small batch diffs only its touched buckets") {
     val base = FeedSpec(seed = 13L, numEvents = 2000, numUrls = 400,
       eventsPerSegment = 1000)
