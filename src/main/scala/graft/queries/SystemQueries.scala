@@ -239,6 +239,73 @@ object SystemQueries {
     s.read.parquet(sinkDir)
   }
 
+  /** Exactly-once row dedup of an AT-LEAST-ONCE delivery:
+    * `dropDuplicatesWithinWatermark` over a feed staged with genuine
+    * redeliveries — micro-batch 0 carries every event, batch 1 re-delivers
+    * event_id % 7 == 0, batch 2 re-delivers event_id % 13 == 0 (the
+    * at-least-once failure mode of any WAL/binlog tail: a retried fetch
+    * replays rows already applied). The dedup key is event_id; Spark keeps
+    * one state row per id inside the watermark horizon and drops every
+    * cross-batch duplicate. The delay (90 days) exceeds the feed's whole
+    * span, so no state is evicted mid-replay and the result is EXACTLY the
+    * distinct event set — which is what makes the oracle trivially
+    * SQL-expressible (the source's ids are unique, so dedup must return
+    * the source verbatim; QueriesSpec asserts the staged input really
+    * contained ~19% more rows). At 100 TB the delay is tuned to the
+    * source's redelivery horizon (minutes, not the stream's life), so
+    * state stays bounded by ids-per-horizon — the same eviction contract
+    * strm_watermark_drops pins. Complements the engine's segment-level
+    * exactly-once (StreamingIngest contiguous-run watermark): that layer
+    * dedups re-sent FILES, this one re-sent ROWS. */
+  private def strmDedup(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val stage = Files.createTempDirectory("ddsrc")
+    val slices: Seq[(String, DataFrame)] = Seq(
+      "full" -> src,
+      "redeliver7" -> src.filter(pmod(col("event_id"), lit(7)) === 0),
+      "redeliver13" -> src.filter(pmod(col("event_id"), lit(13)) === 0))
+    slices.zipWithIndex.foreach { case ((_, df), k) =>
+      val tmp = Files.createTempDirectory("ddslice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val st = Files.list(tmp)
+      val moved =
+        try {
+          val it = st.iterator()
+          var done = false
+          while (it.hasNext && !done) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              val dst = stage.resolve(f"slice-$k%04d.parquet")
+              Files.move(p, dst)
+              Files.setLastModifiedTime(dst,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  1_000_000_000_000L + k * 60000L))
+              done = true
+            }
+          }
+          done
+        } finally st.close()
+      require(moved, s"dedup slice $k produced no parquet part")
+    }
+    val sinkDir = Files.createTempDirectory("ddsink").toString
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ddck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir)
+  }
+
   // ---- CDC engine through the harness (deterministic synthesized feed) ----
   private val CdcSpec = FeedSpec(seed = 42L, numEvents = 4000, numUrls = 400,
     eventsPerSegment = 1000, evolveAtEvent = 2000)
@@ -344,6 +411,7 @@ object SystemQueries {
     "strm_hourly" -> ((s, dir) => strmHourly(s, dir)),
     "strm_sessions" -> ((s, dir) => strmSessions(s, dir)),
     "strm_watermark_drops" -> ((s, dir) => strmWatermarkDrops(s, dir)),
+    "strm_dedup" -> ((s, dir) => strmDedup(s, dir)),
 
     // multimodal: binary media column → batched typed decode (stub codec)
     "mm_media_features" -> ((s, dir) => {
@@ -657,6 +725,13 @@ object SystemQueries {
         |FROM kept, fin
         |WHERE kept.wend <= fin.wm_final
         |GROUP BY 1, 2""".stripMargin,
+
+    // exactly-once dedup: ids are unique at the source and every staged
+    // redelivery lands inside the watermark horizon, so the deduped
+    // stream must equal the source verbatim — any surviving duplicate or
+    // lost row breaks the hash
+    "strm_dedup" ->
+      "SELECT event_id, ts, event_type, value FROM events",
 
     "mm_media_features" ->
       """SELECT doc_id,

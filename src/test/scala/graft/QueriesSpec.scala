@@ -304,6 +304,23 @@ class QueriesSpec extends SparkTestBase {
       "no late rows were dropped — the interleaved staging is not late")
   }
 
+  test("spot: strm_dedup drops real cross-batch redeliveries, loses nothing") {
+    val got = SparkEntry.queries("strm_dedup")(spark, sf)
+    val src = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val n = src.count()
+    // the staging really redelivered rows: batches 1 and 2 add ~1/7 + ~1/13
+    val redelivered =
+      src.filter(pmod(col("event_id"), lit(7)) === 0).count() +
+        src.filter(pmod(col("event_id"), lit(13)) === 0).count()
+    assert(redelivered > n / 10, s"staging delivered too few duplicates: $redelivered")
+    // exactly-once: output = source verbatim, no duplicate survives
+    assert(got.count() == n)
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty,
+      "deduped stream diverges from the distinct source")
+  }
+
   test("spot: cdc_incr_mview incremental fold equals a full recompute of the truth") {
     import org.apache.spark.sql.expressions.Window
     val got = SparkEntry.queries("cdc_incr_mview")(spark, sf)
