@@ -847,8 +847,12 @@ object CdcIngest {
     * future event may carry warc_ts earlier than the horizon (the same
     * promise a streaming watermark makes) — an unbounded-late feed must
     * pass None and keep its tombstones. Logical content is otherwise
-    * unchanged; committed as a normal snapshot (same watermark), so a
+    * unchanged; committed as a normal snapshot (current watermark), so a
     * crashed compaction is invisible and a replayed one idempotent.
+    * `buckets` scopes the rewrite to a subset (small-file cleanup touches
+    * only the long-tail buckets, not 100 TB); commit is OPTIMISTIC — a
+    * racing writer costs a rebase-retry that abandons exactly the buckets
+    * the racer rewrote (see the loop below), never a stop-the-world lock.
     *
     * Compacted files are time-clustered: rows are sorted by `warc_ts`
     * within each bucket (the within-bucket analog of an Iceberg table sort
@@ -863,15 +867,19 @@ object CdcIngest {
   def compact(
       spark: SparkSession,
       table: LakeTable,
-      tombstoneBefore: Option[java.sql.Timestamp] = None): Snapshot = {
+      tombstoneBefore: Option[java.sql.Timestamp] = None,
+      buckets: Option[Set[Int]] = None,
+      beforeCommit: () => Unit = () => ()): Snapshot = {
     val snap = table.currentSnapshot()
+    val targetBuckets = buckets.getOrElse((0 until snap.numBuckets).toSet)
+    val srcFiles = snap.files.filter(f => targetBuckets(f.bucket))
     val physical = StructType(snap.schema.fields ++ Array(
       StructField(LakeTable.SeqCol, LongType), StructField(LakeTable.DeletedCol, BooleanType)))
     val all =
-      if (snap.files.isEmpty)
+      if (srcFiles.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physical)
       else spark.read.schema(physical)
-        .parquet(snap.files.map(f => table.root.resolve(f.path).toString): _*)
+        .parquet(srcFiles.map(f => table.root.resolve(f.path).toString): _*)
     val kept = tombstoneBefore match {
       case Some(h) => all.filter(!col(LakeTable.DeletedCol) || col("warc_ts") >= lit(h))
       case None    => all
@@ -885,16 +893,60 @@ object CdcIngest {
       .sortWithinPartitions(col(LakeTable.BucketCol), col("warc_ts"), col("url"))
       .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
       .parquet(tmpDir.toString)
-    val files = moveDataFiles(spark, table, tmpDir, snap.version + 1)
-    table.commit(Snapshot(
-      version = snap.version + 1, batchId = s"compact-v${snap.version}",
-      parentVersion = snap.version, watermarkSegment = snap.watermarkSegment,
-      schemaJson = snap.schemaJson, numBuckets = snap.numBuckets,
-      files = files, lineage = Seq.empty,
-      metrics = Map[String, Any](
-        "events" -> 0L, "upserts" -> 0L, "deletes" -> 0L,
-        "compactedFrom" -> snap.files.size.toLong,
-        "compactedTo" -> files.size.toLong)))
+    // unique name tag: a racing ingest commits the same version number
+    // with un-tagged names, so tagged compaction files can never collide
+    val tag = "-c" + java.util.UUID.randomUUID().toString.take(8)
+    val newFiles = moveDataFiles(spark, table, tmpDir, snap.version + 1, tag)
+    beforeCommit() // test seam: inject a racing writer here
+
+    // Optimistic-concurrency commit (Iceberg rewrite_data_files
+    // partial-progress analog): if another writer committed since `snap`
+    // was read, ABANDON every bucket it touched — its rewrite already
+    // superseded ours and blindly replacing it would lose data — rebase
+    // the untouched buckets' compacted files onto the new current
+    // snapshot, and retry. Abandoned/raced replacement files are deleted,
+    // never left as orphans. The ingest writer itself stays single-writer
+    // per table (WAL order); this protocol is what lets MAINTENANCE run
+    // concurrently with it at scale instead of stopping the world.
+    var attempts = 0
+    while (true) {
+      val cur = table.currentSnapshot()
+      val keep =
+        if (cur.version == snap.version) targetBuckets
+        else targetBuckets -- table.changedBuckets(snap, cur)
+      val keptNew = newFiles.filter(f => keep(f.bucket))
+      def drop(fs: Seq[graft.lake.DataFileEntry]): Unit =
+        fs.foreach(f => java.nio.file.Files.deleteIfExists(table.root.resolve(f.path)))
+      if (keep.isEmpty) { // every target bucket was rewritten under us
+        drop(newFiles)
+        return cur
+      }
+      val out = Snapshot(
+        version = cur.version + 1,
+        batchId = s"compact-v${snap.version}-r$attempts",
+        parentVersion = cur.version, watermarkSegment = cur.watermarkSegment,
+        schemaJson = cur.schemaJson, numBuckets = cur.numBuckets,
+        files = cur.files.filterNot(f => keep(f.bucket)) ++ keptNew,
+        lineage = Seq.empty,
+        metrics = Map[String, Any](
+          "events" -> 0L, "upserts" -> 0L, "deletes" -> 0L,
+          "compactedFrom" -> srcFiles.size.toLong,
+          "compactedTo" -> keptNew.size.toLong,
+          "abandonedBuckets" -> (targetBuckets.size - keep.size).toLong))
+      table.tryCommit(out) match {
+        case Some(committed) =>
+          drop(newFiles.filterNot(f => keep(f.bucket)))
+          return committed
+        case None =>
+          attempts += 1
+          if (attempts >= 5) {
+            drop(newFiles)
+            throw new IllegalStateException(
+              s"compaction lost the commit race $attempts times; giving up")
+          }
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Driver-side header peek: (schema-version hint, file size). */
@@ -939,9 +991,14 @@ object CdcIngest {
 
   /** Move spark's partitioned output into the table's data dir under
     * version-scoped names; row counts come from parquet footers (metadata
-    * only — no extra Spark job). */
+    * only — no extra Spark job). `nameTag` must be non-empty for any
+    * writer that can RACE the ingest path to the same target version
+    * (compaction): two writers producing the same `s{v}-b{b}-{i}` name
+    * silently replace each other's file via POSIX rename, and the loser's
+    * cleanup then deletes the winner's live data. */
   private def moveDataFiles(
-      spark: SparkSession, table: LakeTable, tmpDir: Path, version: Long): Seq[DataFileEntry] = {
+      spark: SparkSession, table: LakeTable, tmpDir: Path, version: Long,
+      nameTag: String = ""): Seq[DataFileEntry] = {
     val conf = spark.sessionState.newHadoopConf()
     val bucketDirs = Files.list(tmpDir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith(s"${LakeTable.BucketCol}="))
@@ -956,7 +1013,7 @@ object CdcIngest {
       val parts = Files.list(bd).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
       parts.zipWithIndex.map { case (p, i) =>
-        val name = f"s$version%08d-b$bucket%05d-$i%03d.parquet"
+        val name = f"s$version%08d$nameTag%s-b$bucket%05d-$i%03d.parquet"
         val dest = table.dataDir.resolve(name)
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
         val rows = parquetRowCount(dest, conf)

@@ -119,6 +119,17 @@ final class LakeTable(val root: Path) {
     }
   }
 
+  /** [[commit]] that reports a LOST VERSION RACE as None instead of
+    * throwing — the optimistic-concurrency primitive for maintenance jobs
+    * (compaction, GC) racing the ingest writer: the caller re-reads the
+    * new current snapshot, revalidates what it rewrote, and retries at the
+    * next version (see CdcIngest.compact's rebase loop). Idempotent
+    * re-commits of the same batchId still return Some; schema-evolution
+    * violations still throw their typed exception. */
+  def tryCommit(snap: Snapshot): Option[Snapshot] =
+    try Some(commit(snap))
+    catch { case _: IllegalArgumentException => None }
+
   /** Schema including system columns, as stored in data files. */
   def physicalSchema(s: Snapshot): StructType =
     StructType(s.schema.fields ++ Array(

@@ -4,10 +4,12 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
+import graft.codec.RecordCodec
 import graft.feed.{FeedGen, FeedSpec}
 import graft.ingest.CdcIngest
 import graft.ingest.CdcIngest.IngestConfig
 import graft.lake.LakeTable
+import graft.model.ChangeEvent
 
 /** Table-maintenance surface: driver-side bucket planning (`bucketOf` /
   * `lookup`), snapshot expiration (`expireSnapshots`, Iceberg
@@ -124,5 +126,99 @@ class LakeMaintenanceSpec extends SparkTestBase {
       .select("url", "warc_ts", "text").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
     assert(got == expected.values.map(e => (e.url, e.warcTs, e.text)).toSet)
+  }
+
+  /** Far-future update events for the given urls (guaranteed LWW winners),
+    * framed as the feed's next contiguous segment. */
+  private def raceSegment(feed: String, segId: Int, urls: Seq[String]): Seq[ChangeEvent] = {
+    val tsMicros = 4102444800000000L
+    val extra = urls.zipWithIndex.map { case (url, i) =>
+      ChangeEvent(ChangeEvent.OpUpdate, 10000L + i, url,
+        RecordCodec.microsToTimestamp(tsMicros + i * 1000000L),
+        FeedGen.htmlOf(url, tsMicros), FeedGen.textOf(url, tsMicros, "en"),
+        "en", RecordCodec.SchemaV1, None, None)
+    }
+    Files.write(Paths.get(feed, f"segment-$segId%06d.bin"),
+      RecordCodec.frameSegment(extra.iterator.map(RecordCodec.encode)))
+    extra
+  }
+
+  /** Every data file on disk must be referenced by SOME snapshot —
+    * a raced compaction may abandon work but never leak orphans. */
+  private def orphanFiles(table: LakeTable): Set[String] = {
+    val refs = table.listVersions()
+      .flatMap(v => table.readSnapshot(v).files.map(_.path)).toSet
+    val st = Files.list(table.dataDir)
+    val onDisk =
+      try {
+        val it = st.iterator()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            b += table.root.relativize(p).toString
+        }
+        b.result()
+      } finally st.close()
+    onDisk -- refs
+  }
+
+  test("compact: optimistic commit rebases around a racing ingest (partial progress)") {
+    val feed = tmpDir("ccfeed")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("cctbl"), CdcIngest.PagesSchemaV1, 8)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    val liveBase = FeedGen.expectedState(FeedGen.events(spec))
+    // racer updates 4 live urls → rewrites only their buckets
+    val picks = (0 until spec.numUrls).iterator.map(FeedGen.urlOf(spec, _))
+      .filter(liveBase.contains).take(4).toSeq
+    val racedBuckets = picks.map(LakeTable.bucketOf(_, 8)).toSet
+    var extra: Seq[ChangeEvent] = Seq.empty
+    val snap = CdcIngest.compact(spark, table, beforeCommit = () => {
+      extra = raceSegment(feed, 6, picks)
+      CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    })
+    // partial progress: exactly the racer's buckets were abandoned
+    assert(snap.metrics("abandonedBuckets") == racedBuckets.size.toLong,
+      s"expected ${racedBuckets.size} abandoned, got ${snap.metrics("abandonedBuckets")}")
+    val byBucket = snap.files.groupBy(_.bucket)
+    (0 until 8).filterNot(racedBuckets).filter(byBucket.contains).foreach { b =>
+      assert(byBucket(b).size == 1, s"kept bucket $b not compacted to one file")
+    }
+    // NOTHING lost: final state = serial fold of base feed + racer's updates
+    val want = FeedGen.expectedState(FeedGen.events(spec).concat(extra.iterator))
+    val got = table.read(spark)
+      .select("url", "warc_ts", "text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    assert(got == want.values.map(e => (e.url, e.warcTs, e.text)).toSet,
+      "racing ingest's updates were lost by the compaction rebase")
+    assert(orphanFiles(table).isEmpty, s"orphaned data files: ${orphanFiles(table)}")
+  }
+
+  test("compact: total conflict abandons cleanly, no new snapshot, no orphans") {
+    val feed = tmpDir("ctfeed")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("cttbl"), CdcIngest.PagesSchemaV1, 8)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    val liveBase = FeedGen.expectedState(FeedGen.events(spec))
+    // racer touches EVERY bucket: pick one live url per bucket
+    val byBucket = liveBase.keySet.groupBy(LakeTable.bucketOf(_, 8))
+    assert(byBucket.size == 8, "feed too small to populate all buckets")
+    val picks = byBucket.values.map(_.head).toSeq
+    var extra: Seq[ChangeEvent] = Seq.empty
+    val snap = CdcIngest.compact(spark, table, beforeCommit = () => {
+      extra = raceSegment(feed, 6, picks)
+      CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    })
+    // compaction contributed nothing: returned snapshot IS the racer's
+    assert(snap.version == table.listVersions().max)
+    assert(!snap.batchId.startsWith("compact-"),
+      "a fully-conflicted compaction must not commit")
+    val want = FeedGen.expectedState(FeedGen.events(spec).concat(extra.iterator))
+    val got = table.read(spark)
+      .select("url", "warc_ts", "text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    assert(got == want.values.map(e => (e.url, e.warcTs, e.text)).toSet)
+    assert(orphanFiles(table).isEmpty, s"orphaned data files: ${orphanFiles(table)}")
   }
 }
