@@ -35,9 +35,9 @@ object MainIngest {
       """usage:
         |  MainIngest gen    <feedDir> <numEvents> <numUrls> [eventsPerSegment] [evolveAtEvent]
         |  MainIngest init   <tableDir> [numBuckets]
-        |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets]
+        |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets] [maxFileRows]
         |  MainIngest stream <tableDir> <feedDir> [checkpointDir]
-        |  MainIngest compact <tableDir> [tombstoneHorizonIso]
+        |  MainIngest compact <tableDir> [tombstoneHorizonIso] [minFilesPerBucket]
         |  MainIngest expire  <tableDir> <keepLastSnapshots>
         |  MainIngest lookup  <tableDir> <url> [url...]
         |  MainIngest asof    <tableDir> <version>
@@ -90,13 +90,15 @@ object MainIngest {
     case "ingest" :: tableDir :: feedDir :: rest =>
       val perBatch = rest.headOption.map(_.toInt).getOrElse(4)
       val salt = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
+      val maxFileRows = rest.drop(2).headOption.map(_.toLong).getOrElse(0L)
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val table = LakeTable.load(tableDir)
       val before = table.currentSnapshot()
       val t0 = System.nanoTime()
       val snaps = CdcIngest.run(spark, table, feedDir,
-        IngestConfig(numBuckets = before.numBuckets, saltBuckets = salt, segmentsPerBatch = perBatch))
+        IngestConfig(numBuckets = before.numBuckets, saltBuckets = salt,
+          segmentsPerBatch = perBatch, maxFileRows = maxFileRows))
       val secs = (System.nanoTime() - t0) / 1e9
       if (snaps.isEmpty)
         println(s"nothing to do: table already at segment ${before.watermarkSegment}")
@@ -123,16 +125,30 @@ object MainIngest {
         s"segment ${snap.watermarkSegment}")
       spark.stop()
 
-    // per-bucket file rewrite + optional tombstone GC (late-data horizon)
+    // per-bucket file rewrite + optional tombstone GC (late-data horizon).
+    // minFilesPerBucket scopes the rewrite to the SMALL-FILE LONG TAIL:
+    // only buckets holding at least that many files are rewritten — the
+    // routine maintenance shape at scale, where a full-table rewrite of
+    // well-compacted buckets would be 100 TB of wasted IO.
     case "compact" :: tableDir :: rest =>
-      val horizon = rest.headOption.map(h =>
+      val horizon = rest.headOption.filter(_.contains("-")).map(h =>
         java.sql.Timestamp.from(java.time.Instant.parse(h)))
+      val minFiles = rest.find(a => a.forall(_.isDigit) && a.nonEmpty).map(_.toInt)
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val table = LakeTable.load(tableDir)
-      val before = table.currentSnapshot().files.size
-      val snap = CdcIngest.compact(spark, table, horizon)
+      val cur = table.currentSnapshot()
+      val before = cur.files.size
+      val buckets = minFiles.map { k =>
+        cur.files.groupBy(_.bucket).collect { case (b, fs) if fs.size >= k => b }.toSet
+      }
+      buckets.filter(_.isEmpty).foreach { _ =>
+        println(s"nothing to do: no bucket has >= ${minFiles.get} files")
+        spark.stop(); sys.exit(0)
+      }
+      val snap = CdcIngest.compact(spark, table, horizon, buckets)
       println(s"compacted $before -> ${snap.files.size} files at v${snap.version}" +
+        buckets.map(bs => s" (${bs.size} long-tail buckets)").getOrElse("") +
         horizon.map(h => s" (tombstones before $h dropped)").getOrElse(""))
       spark.stop()
 

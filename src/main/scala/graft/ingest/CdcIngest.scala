@@ -46,7 +46,15 @@ object CdcIngest {
       numBuckets: Int = 32,
       saltBuckets: Int = 16,
       segmentsPerBatch: Int = 4,
-      segmentsPerKeyTask: Int = 25)
+      segmentsPerKeyTask: Int = 25,
+      // Target rows per data file (0 = unlimited). At 100 TB a bucket is
+      // tens of GB; without a cap the merge writes ONE file per bucket —
+      // a single writer task, an unsplittable scan unit, and an object-
+      // store PUT far above multipart sweet spots. With a cap Spark's
+      // maxRecordsPerFile rolls each bucket into bounded files; the
+      // resulting multi-file buckets are what the `compact ... minFiles`
+      // small-file maintenance path re-clusters (time-sorted) later.
+      maxFileRows: Long = 0L)
 
   /** User-facing v1 schema of the pages lake table (BASELINE.json:input_hint). */
   val PagesSchemaV1: StructType = StructType(Seq(
@@ -734,9 +742,12 @@ object CdcIngest {
       * and NO post-join shuffle is needed. */
     def writeMerged(merged: DataFrame, newVersion: Long): Seq[DataFileEntry] = {
       val tmpDir = table.root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      merged
+      val w = merged
         .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(numBuckets))
         .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
+      (if (config.maxFileRows > 0)
+         w.option("maxRecordsPerFile", config.maxFileRows)
+       else w)
         .parquet(tmpDir.toString)
       mark("merge+write")
       val files = moveDataFiles(spark, table, tmpDir, newVersion)
@@ -869,6 +880,7 @@ object CdcIngest {
       table: LakeTable,
       tombstoneBefore: Option[java.sql.Timestamp] = None,
       buckets: Option[Set[Int]] = None,
+      maxFileRows: Long = 0L,
       beforeCommit: () => Unit = () => ()): Snapshot = {
     val snap = table.currentSnapshot()
     val targetBuckets = buckets.getOrElse((0 until snap.numBuckets).toSet)
@@ -885,13 +897,14 @@ object CdcIngest {
       case None    => all
     }
     val tmpDir = table.root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    kept
+    val w = kept
       .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(snap.numBuckets))
       .repartition(snap.numBuckets, col("url")) // partitioning == bucket id
       // leading BucketCol satisfies the partitioned write's required
       // ordering, so FileFormatWriter adds NO extra sort of its own
       .sortWithinPartitions(col(LakeTable.BucketCol), col("warc_ts"), col("url"))
       .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
+    (if (maxFileRows > 0) w.option("maxRecordsPerFile", maxFileRows) else w)
       .parquet(tmpDir.toString)
     // unique name tag: a racing ingest commits the same version number
     // with un-tagged names, so tagged compaction files can never collide

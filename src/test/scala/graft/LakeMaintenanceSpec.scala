@@ -163,6 +163,33 @@ class LakeMaintenanceSpec extends SparkTestBase {
     onDisk -- refs
   }
 
+  test("maxFileRows: merge splits bucket files; small-file compact re-clusters them") {
+    val feed = tmpDir("sffeed")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("sftbl"), CdcIngest.PagesSchemaV1, 4)
+    CdcIngest.run(spark, table, feed,
+      IngestConfig(numBuckets = 4, segmentsPerBatch = 6, maxFileRows = 50))
+    val snap0 = table.currentSnapshot()
+    val multi = snap0.files.groupBy(_.bucket).filter(_._2.size >= 2)
+    assert(multi.nonEmpty, "maxFileRows produced no multi-file buckets")
+    assert(snap0.files.forall(_.rows <= 50), "a data file exceeds maxFileRows")
+    val expected = FeedGen.expectedState(FeedGen.events(spec))
+      .values.map(e => (e.url, e.warcTs, e.text)).toSet
+    def state() = table.read(spark).select("url", "warc_ts", "text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    assert(state() == expected)
+    // small-file maintenance: compact ONLY the multi-file buckets
+    val snap1 = CdcIngest.compact(spark, table, buckets = Some(multi.keySet))
+    multi.keySet.foreach { b =>
+      assert(snap1.files.count(_.bucket == b) == 1, s"bucket $b not re-clustered")
+    }
+    // untouched buckets' file entries are carried verbatim — no rewrite
+    val untouched = snap0.files.filterNot(f => multi.keySet(f.bucket)).toSet
+    assert(untouched.subsetOf(snap1.files.toSet))
+    assert(state() == expected)
+    assert(orphanFiles(table).isEmpty)
+  }
+
   test("compact: optimistic commit rebases around a racing ingest (partial progress)") {
     val feed = tmpDir("ccfeed")
     FeedGen.writeSegments(spec, feed)
