@@ -42,6 +42,7 @@ object MainIngest {
         |  MainIngest lookup  <tableDir> <url> [url...]
         |  MainIngest asof    <tableDir> <version>
         |  MainIngest changes <tableDir> <fromVersion> <toVersion>
+        |  MainIngest deltas  <tableDir> <fromVersion> <toVersion>
         |  MainIngest export <tableDir> <outDir> [json|csv|parquet] [--checksums]
         |  MainIngest show   <tableDir>
         |  MainIngest run      <registry.json> [manifestPath]
@@ -199,6 +200,22 @@ object MainIngest {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
       println(s"changes v$fromV -> v$toV: $byOp")
       df.orderBy("url").show(10, 60)
+      spark.stop()
+
+    // change-data-feed WITH pre/post-images (Delta CDF analog) — the delta
+    // shape incremental consumers (downstream MV maintenance) subscribe to
+    case "deltas" :: tableDir :: fromV :: toV :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      requireVersions(table, fromV.toLong, toV.toLong)
+      val df = table.changeDeltas(spark, fromV.toLong, toV.toLong)
+      val byOp = df.groupBy("change_op").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+      println(s"deltas v$fromV -> v$toV: $byOp")
+      df.select("change_op", "url", "warc_ts_before", "warc_ts_after",
+          "lang_before", "lang_after")
+        .orderBy("url").show(10, 40)
       spark.stop()
 
     // multi-format snapshot export + run manifest (reference K1-K3/K7 parity)
