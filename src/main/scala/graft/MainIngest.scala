@@ -43,6 +43,7 @@ object MainIngest {
         |  MainIngest asof    <tableDir> <version>
         |  MainIngest changes <tableDir> <fromVersion> <toVersion>
         |  MainIngest deltas  <tableDir> <fromVersion> <toVersion>
+        |  MainIngest mview   <tableDir> <mvDir>
         |  MainIngest export <tableDir> <outDir> [json|csv|parquet] [--checksums]
         |  MainIngest show   <tableDir>
         |  MainIngest run      <registry.json> [manifestPath]
@@ -200,6 +201,28 @@ object MainIngest {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
       println(s"changes v$fromV -> v$toV: $byOp")
       df.orderBy("url").show(10, 60)
+      spark.stop()
+
+    // incrementally maintained materialized view: seed on first call (one
+    // full aggregation), roll forward from change deltas on every later
+    // call — refresh cost ∝ change volume since last refresh, crash-safe
+    // atomic state flips, resumable like the table itself
+    case "mview" :: tableDir :: mvRoot :: Nil =>
+      import graft.lake.MaterializedView
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      MaterializedView.appliedVersion(mvRoot) match {
+        case None =>
+          val v = MaterializedView.seed(spark, table, mvRoot)
+          println(s"seeded mview at table v$v " +
+            s"(${MaterializedView.read(spark, mvRoot).count()} hosts)")
+        case Some(_) =>
+          val (from, to) = MaterializedView.refresh(spark, table, mvRoot)
+          if (from == to) println(s"nothing to do: mview already at v$to")
+          else println(s"refreshed mview v$from -> v$to " +
+            s"(${MaterializedView.read(spark, mvRoot).count()} hosts)")
+      }
       spark.stop()
 
     // change-data-feed WITH pre/post-images (Delta CDF analog) — the delta

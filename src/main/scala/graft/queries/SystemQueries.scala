@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.feed.{FeedGen, FeedSpec}
 import graft.ingest.CdcIngest
 import graft.ingest.CdcIngest.IngestConfig
-import graft.lake.LakeTable
+import graft.lake.{LakeTable, MaterializedView}
 import graft.multimodal.MediaPipeline
 import graft.ops.AsofJoin
 
@@ -582,16 +582,16 @@ object SystemQueries {
     }),
 
     // incremental materialized-view maintenance (the "don't recompute
-    // 100 TB" path): a per-host aggregate (live pages, total bytes) is
-    // seeded by ONE full aggregation of the FIRST committed snapshot, then
-    // rolled forward version-by-version from changeDeltas' before/after
-    // images alone — I contributes +after, D contributes −before, U
-    // contributes after−before — so each step's cost ∝ that commit's
-    // change volume (changed buckets only), never table size. The driver
-    // hash-checks the incrementally maintained result against DuckDB's
-    // FULL recompute over the truth stream: the delta classification, the
-    // pre-image plumbing, the evolution null-fill, and the fold arithmetic
-    // all collapse into one equality. max()-style aggregates are NOT
+    // 100 TB" path), exercised through the ENGINE feature
+    // [[graft.lake.MaterializedView]]: the per-host MV is seeded by ONE
+    // full aggregation of the FIRST committed snapshot, then refreshed
+    // version-by-version — each refresh reads only changeDeltas' changed
+    // buckets and the prior MV, cost ∝ change volume, never table size,
+    // with crash-safe atomic state flips between versions. The driver
+    // hash-checks the final MV against DuckDB's FULL recompute over the
+    // truth stream: delta classification, pre-image plumbing, evolution
+    // null-fill, fold arithmetic, and the MV's own commit protocol all
+    // collapse into one equality. max()-style aggregates are NOT
     // delta-maintainable under deletes (no inverse) — deliberately absent
     // here; cdc_domain_stats carries last_crawl on the recompute path.
     "cdc_incr_mview" -> ((s, dir) => {
@@ -601,37 +601,14 @@ object SystemQueries {
       FeedGen.writeSegments(CdcSpec, feedDir)
       val table = LakeTable.create(work.resolve("table").toString,
         CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
-      // one commit per segment → 4 snapshot versions → 3 incremental steps
+      // one commit per segment → 4 snapshot versions → 3 refresh steps
       CdcIngest.run(s, table, feedDir,
         IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 1))
       val vs = table.listVersions().sorted
-      def host(c: org.apache.spark.sql.Column) = element_at(split(c, "/"), 3)
-      // bytes column: 0-filled where the pre-evolution schema lacks it, so
-      // base and delta arithmetic agree across the additive evolution
-      def bytesIn(df: DataFrame, c: String): org.apache.spark.sql.Column =
-        if (df.columns.contains(c)) coalesce(col(c), lit(0L)) else lit(0L)
-      val base = table.readAsOf(s, vs(1))
-      var mv = base.groupBy(host(col("url")).as("host"))
-        .agg(count(lit(1)).as("n_pages"),
-          sum(bytesIn(base, "content_len")).as("total_bytes"))
-      vs.drop(1).sliding(2).filter(_.size == 2).foreach { pair =>
-        val d = table.changeDeltas(s, pair(0), pair(1))
-        val after = bytesIn(d, "content_len_after")
-        val before = bytesIn(d, "content_len_before")
-        val delta = d.select(host(col("url")).as("host"),
-            when(col("change_op") === "I", 1L)
-              .when(col("change_op") === "D", -1L).otherwise(0L).as("dp"),
-            (when(col("change_op") =!= "D", after).otherwise(lit(0L))
-              - when(col("change_op") =!= "I", before).otherwise(lit(0L))).as("db"))
-          .groupBy("host").agg(sum("dp").as("dp"), sum("db").as("db"))
-        mv = mv.join(delta, Seq("host"), "full_outer")
-          .select(col("host"),
-            (coalesce(col("n_pages"), lit(0L)) + coalesce(col("dp"), lit(0L))).as("n_pages"),
-            (coalesce(col("total_bytes"), lit(0L)) + coalesce(col("db"), lit(0L))).as("total_bytes"))
-          .filter(col("n_pages") > 0)
-          .localCheckpoint() // cut the lineage: each step's plan starts fresh
-      }
-      mv
+      val mvRoot = work.resolve("mv").toString
+      MaterializedView.seed(s, table, mvRoot, Some(vs(1)))
+      vs.drop(2).foreach(v => MaterializedView.refresh(s, table, mvRoot, Some(v)))
+      MaterializedView.read(s, mvRoot)
     })
   )
 

@@ -190,6 +190,44 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(orphanFiles(table).isEmpty)
   }
 
+  test("materialized view: seed, incremental refresh, idempotence, single live version") {
+    import graft.lake.MaterializedView
+    val feed = tmpDir("mvfeed")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("mvtbl"), CdcIngest.PagesSchemaV1, 8)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    val mv = tmpDir("mvroot")
+    def recompute(): Set[(String, Long, Long)] = {
+      val t = table.read(spark)
+      val bytes = if (t.columns.contains("content_len"))
+        coalesce(col("content_len"), lit(0L)) else lit(0L)
+      t.groupBy(element_at(split(col("url"), "/"), 3).as("host"))
+        .agg(count(lit(1)).as("n_pages"), sum(bytes).as("total_bytes"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    def mvSet(): Set[(String, Long, Long)] = MaterializedView.read(spark, mv)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val v0 = MaterializedView.seed(spark, table, mv)
+    assert(mvSet() == recompute())
+    // advance the table (updates + the feed's own deletes), refresh from deltas
+    val liveBase = FeedGen.expectedState(FeedGen.events(spec))
+    val picks = (0 until spec.numUrls).iterator.map(FeedGen.urlOf(spec, _))
+      .filter(liveBase.contains).take(5).toSeq
+    raceSegment(feed, 6, picks)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    val (from, to) = MaterializedView.refresh(spark, table, mv)
+    assert(from == v0 && to == table.currentSnapshot().version)
+    assert(mvSet() == recompute(), "refreshed MV diverges from full recompute")
+    // idempotent: already current
+    assert(MaterializedView.refresh(spark, table, mv) == (to, to))
+    // exactly one live version dir + state.json remain
+    val entries = Files.list(Paths.get(mv)).iterator()
+    val names = scala.collection.mutable.Buffer.empty[String]
+    while (entries.hasNext) names += entries.next().getFileName.toString
+    assert(names.count(_.startsWith("v")) == 1, s"stale MV versions: $names")
+    assert(names.contains("state.json"))
+  }
+
   test("compact: optimistic commit rebases around a racing ingest (partial progress)") {
     val feed = tmpDir("ccfeed")
     FeedGen.writeSegments(spec, feed)
