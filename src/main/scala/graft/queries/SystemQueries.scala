@@ -163,6 +163,88 @@ object SystemQueries {
     s.read.parquet(sinkDir)
   }
 
+  /** Write each slice as ONE parquet file into a fresh staging dir,
+    * mtime-ordered by index — the file streaming source then drains them
+    * as deterministic micro-batches (maxFilesPerTrigger = 1). Harness
+    * staging only: a real deployment's source (Kafka / WAL segments)
+    * arrives pre-sliced. */
+  private def stageSlices(slices: Seq[DataFrame]): java.nio.file.Path = {
+    val stage = Files.createTempDirectory("stg")
+    slices.zipWithIndex.foreach { case (df, k) =>
+      val tmp = Files.createTempDirectory("slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val st = Files.list(tmp) // try/finally: the stream holds an open fd
+      val moved =
+        try {
+          val it = st.iterator()
+          var done = false
+          while (it.hasNext && !done) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              val dst = stage.resolve(f"slice-$k%04d.parquet")
+              Files.move(p, dst)
+              Files.setLastModifiedTime(dst,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  1_000_000_000_000L + k * 60000L))
+              done = true
+            }
+          }
+          done
+        } finally st.close()
+      require(moved, s"slice $k produced no parquet part")
+    }
+    stage
+  }
+
+  /** Stream-stream INNER JOIN with an event-time range condition
+    * (purchase attribution: every click by the same user in the 24 h
+    * window before a purchase). Both sides are real file streams drained
+    * one file per micro-batch, each side split by event-id parity, so
+    * matches genuinely CROSS micro-batches in both directions — a
+    * purchase can arrive before its matching click and vice versa, and
+    * the join state must hold both sides until the partner shows up.
+    * The 90-day watermark exceeds the feed's span, so no state is evicted
+    * mid-replay and the complete, exactly-once result equals the plain
+    * relational join — which is the oracle. At 100 TB the watermark tunes
+    * to the real attribution horizon (here 24 h), bounding both sides'
+    * state to one horizon of events — the property that keeps a
+    * stream-stream join runnable on an unbounded feed. */
+  private def strmStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    def halves(t: String) = Seq(
+      src.filter(col("event_type") === t && pmod(col("event_id"), lit(2)) === 0),
+      src.filter(col("event_type") === t && pmod(col("event_id"), lit(2)) === 1))
+    val pDir = stageSlices(halves("purchase"))
+    val cDir = stageSlices(halves("click"))
+    val sch = src.schema
+    def stream(d: java.nio.file.Path) = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val p = stream(pDir).withWatermark("ts", "90 days")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = stream(cDir).withWatermark("ts", "90 days")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+    val joined = p.join(c, expr(
+      """user_id = c_user_id AND
+        |click_ts >= purchase_ts - INTERVAL 24 HOURS AND
+        |click_ts <= purchase_ts""".stripMargin))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+    val sinkDir = Files.createTempDirectory("ssjsink").toString
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ssjck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir)
+  }
+
   // ---- event-time watermark: late-data drops under the oracle ----
 
   /** Number of interleaved micro-batches staged for
@@ -192,31 +274,8 @@ object SystemQueries {
     val src = s.read.parquet(s"$dir/events.parquet")
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
         col("value"), col("event_id"))
-    val stage = Files.createTempDirectory("wmsrc")
-    (0 until WmSlices).foreach { k =>
-      val tmp = Files.createTempDirectory("wmslice")
-      src.filter(pmod(col("event_id"), lit(WmSlices)) === k)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val st = Files.list(tmp) // try/finally: the stream holds an open fd
-      val moved =
-        try {
-          val it = st.iterator()
-          var done = false
-          while (it.hasNext && !done) {
-            val p = it.next()
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              val dst = stage.resolve(f"slice-$k%04d.parquet")
-              Files.move(p, dst)
-              Files.setLastModifiedTime(dst,
-                java.nio.file.attribute.FileTime.fromMillis(
-                  1_000_000_000_000L + k * 60000L))
-              done = true
-            }
-          }
-          done
-        } finally st.close()
-      require(moved, s"slice $k produced no parquet part")
-    }
+    val stage = stageSlices((0 until WmSlices).map(k =>
+      src.filter(pmod(col("event_id"), lit(WmSlices)) === k)))
     val sch = src.schema
     val sinkDir = Files.createTempDirectory("wmsink").toString
     val q = s.readStream.schema(sch)
@@ -261,34 +320,10 @@ object SystemQueries {
     val src = s.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
-    val stage = Files.createTempDirectory("ddsrc")
-    val slices: Seq[(String, DataFrame)] = Seq(
-      "full" -> src,
-      "redeliver7" -> src.filter(pmod(col("event_id"), lit(7)) === 0),
-      "redeliver13" -> src.filter(pmod(col("event_id"), lit(13)) === 0))
-    slices.zipWithIndex.foreach { case ((_, df), k) =>
-      val tmp = Files.createTempDirectory("ddslice")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val st = Files.list(tmp)
-      val moved =
-        try {
-          val it = st.iterator()
-          var done = false
-          while (it.hasNext && !done) {
-            val p = it.next()
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              val dst = stage.resolve(f"slice-$k%04d.parquet")
-              Files.move(p, dst)
-              Files.setLastModifiedTime(dst,
-                java.nio.file.attribute.FileTime.fromMillis(
-                  1_000_000_000_000L + k * 60000L))
-              done = true
-            }
-          }
-          done
-        } finally st.close()
-      require(moved, s"dedup slice $k produced no parquet part")
-    }
+    val stage = stageSlices(Seq(
+      src, // batch 0: every event
+      src.filter(pmod(col("event_id"), lit(7)) === 0), // redelivery 1
+      src.filter(pmod(col("event_id"), lit(13)) === 0))) // redelivery 2
     val sinkDir = Files.createTempDirectory("ddsink").toString
     val q = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", 1)
@@ -412,6 +447,7 @@ object SystemQueries {
     "strm_sessions" -> ((s, dir) => strmSessions(s, dir)),
     "strm_watermark_drops" -> ((s, dir) => strmWatermarkDrops(s, dir)),
     "strm_dedup" -> ((s, dir) => strmDedup(s, dir)),
+    "strm_stream_join" -> ((s, dir) => strmStreamJoin(s, dir)),
 
     // multimodal: binary media column → batched typed decode (stub codec)
     "mm_media_features" -> ((s, dir) => {
@@ -709,6 +745,15 @@ object SystemQueries {
     // lost row breaks the hash
     "strm_dedup" ->
       "SELECT event_id, ts, event_type, value FROM events",
+
+    // stream-stream join: with no mid-replay eviction the complete
+    // exactly-once result equals the plain relational range join
+    "strm_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |  p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+        |FROM events p JOIN events c ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts""".stripMargin,
 
     "mm_media_features" ->
       """SELECT doc_id,

@@ -304,6 +304,35 @@ class QueriesSpec extends SparkTestBase {
       "no late rows were dropped — the interleaved staging is not late")
   }
 
+  test("spot: strm_stream_join matches cross micro-batches in both directions") {
+    val got = SparkEntry.queries("strm_stream_join")(spark, sf)
+    // sides were staged by event-id parity, so parity(p) != parity(c) means
+    // the pair's halves arrived in DIFFERENT micro-batches — the join had
+    // to buffer one side in state until the partner showed up
+    val pLate = got.filter(pmod(col("purchase_id"), lit(2)) === 1 &&
+      pmod(col("click_id"), lit(2)) === 0).count()
+    val cLate = got.filter(pmod(col("purchase_id"), lit(2)) === 0 &&
+      pmod(col("click_id"), lit(2)) === 1).count()
+    assert(pLate > 0, "no purchase-after-click cross-batch match — state unexercised")
+    assert(cLate > 0, "no click-after-purchase cross-batch match — state unexercised")
+    // complete and exactly-once: equals the batch relational range join
+    val src = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("click_ts"))
+    val exp = p.join(c, col("user_id") === col("cu") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "stream-stream join diverges from the batch range join")
+  }
+
   test("spot: strm_dedup drops real cross-batch redeliveries, loses nothing") {
     val got = SparkEntry.queries("strm_dedup")(spark, sf)
     val src = spark.read.parquet(s"$sf/events.parquet")
