@@ -234,6 +234,33 @@ object CoreQueries {
       t(s, dir, "events")
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }),
+
+    // hierarchical aggregation (ROLLUP + grouping_id): per (status,
+    // priority), per status subtotals, and the grand total in ONE pass —
+    // Spark expands the grouping sets before the shuffle, so this stays a
+    // single partial-aggregated exchange, not three scans. gid
+    // disambiguates a real NULL group key from a rolled-up level.
+    "q21_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("gid"), col("n_orders"), col("revenue"))
+    }),
+
+    // pivot (long → wide): per-source doc counts fanned out to one column
+    // per language. The pivot value list is FIXED in the plan, so this is
+    // one groupBy with conditional aggregates — no second pass to discover
+    // the domain, the shape a 100-TB pivot needs.
+    "q22_pivot" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      t(s, dir, "documents")
+        .groupBy(col("source")).pivot("lang", langs).agg(count(lit(1)))
+        .select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
     })
   )
 
@@ -345,6 +372,21 @@ object CoreQueries {
         |GROUP BY token HAVING COUNT(*) >= 10""".stripMargin,
     "q20_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
-        |FROM events GROUP BY k""".stripMargin
+        |FROM events GROUP BY k""".stripMargin,
+    // GROUPING(a, b) bit order (a = MSB) matches Spark's grouping_id()
+    "q21_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q22_pivot" ->
+      """SELECT source,
+        | COUNT(*) FILTER (lang = 'de') AS de,
+        | COUNT(*) FILTER (lang = 'en') AS en,
+        | COUNT(*) FILTER (lang = 'es') AS es,
+        | COUNT(*) FILTER (lang = 'fr') AS fr,
+        | COUNT(*) FILTER (lang = 'zh') AS zh
+        |FROM documents GROUP BY source""".stripMargin
   )
 }
