@@ -678,6 +678,24 @@ object PipelineQueries {
           .otherwise(lit("test")).as("split"))
     }),
 
+    // deterministic STRATIFIED sample: exactly min(30, stratum size) docs
+    // per language, chosen by ranking a salted content-free hash of the
+    // key — reproducible across runs/engines (no RNG), unbiased w.r.t.
+    // document content, and auditable (membership is re-derivable from
+    // doc_id alone — the corpus-curation property a training-data sample
+    // needs). One rank window per stratum; at 100 TB the same selection
+    // runs as a partial-aggregated per-stratum top-k (aggregate the k
+    // smallest hashes map-side) rather than a full sort — the window form
+    // here keeps the plan readable at harness scale.
+    "ta_sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5s(concat(col("doc_id").cast("string"), lit(":sample"))))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 30)
+        .select(col("doc_id"), col("lang"), col("rk"))
+    }),
+
     // held-out decontamination (GPT-3-style 13-gram overlap rule): a train
     // doc is contaminated iff it shares ANY 13-token shingle with the
     // held-out set (doc_id % 50 == 0 here). The held-out side is small by
@@ -1039,6 +1057,12 @@ object PipelineQueries {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 2) < 'f3' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "ta_sample_stratified" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sample')) AS rk
+        |  FROM documents)
+        |WHERE rk <= 30""".stripMargin,
     "ta_repetition" ->
       """WITH g AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |n AS (SELECT doc_id, ts,
