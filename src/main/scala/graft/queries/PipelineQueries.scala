@@ -696,6 +696,29 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("rk"))
     }),
 
+    // the SAME selection as ta_sample_stratified through the scale-form
+    // operator: graft.ops.BoundedTopK, a typed Aggregator whose partial
+    // state is capped at k elements — map-side combine ships ≤k rows per
+    // stratum per task, where the window form must sort whole strata in
+    // single partitions. Same oracle as the window form: the two plans
+    // must agree row-for-row, which also proves the aggregator's
+    // merge-shape independence on real data.
+    "ta_sample_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("lang"),
+          md5s(concat(col("doc_id").cast("string"), lit(":sample"))).as("h"),
+          col("doc_id"))
+        .as[(String, String, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new graft.ops.BoundedTopK(30).toColumn.name("topk"))
+        .flatMap { case (lang, items) =>
+          items.iterator.zipWithIndex.map { case ((_, id), i) => (id, lang, i + 1) }
+        }
+        .toDF("doc_id", "lang", "rk")
+    }),
+
     // held-out decontamination (GPT-3-style 13-gram overlap rule): a train
     // doc is contaminated iff it shares ANY 13-token shingle with the
     // held-out set (doc_id % 50 == 0 here). The held-out side is small by
@@ -1058,6 +1081,13 @@ object PipelineQueries {
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
     "ta_sample_stratified" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sample')) AS rk
+        |  FROM documents)
+        |WHERE rk <= 30""".stripMargin,
+    // identical selection, scale-form operator — shared oracle by design
+    "ta_sample_topk_agg" ->
       """SELECT doc_id, lang, rk FROM (
         |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sample')) AS rk
