@@ -252,15 +252,18 @@ object CoreQueries {
     }),
 
     // pivot (long → wide): per-source doc counts fanned out to one column
-    // per language. The pivot value list is FIXED in the plan, so this is
-    // one groupBy with conditional aggregates — no second pass to discover
-    // the domain, the shape a 100-TB pivot needs.
+    // per language, as ONE groupBy of conditional aggregates over a fixed
+    // domain — one partial-aggregated exchange (PlanSpec-pinned). Written
+    // this way deliberately: `DataFrame.pivot`, even with its value list
+    // fixed, plans TWO aggregation phases (inner (source,lang) count, then
+    // a pivotfirst re-aggregation = a second shuffle); the conditional-
+    // aggregate form halves that, which is the shape a 100-TB pivot needs.
     "q22_pivot" -> ((s, dir) => {
       val langs = Seq("de", "en", "es", "fr", "zh")
+      val aggs = langs.map(l =>
+        sum(when(col("lang") === l, 1L).otherwise(0L)).as(l))
       t(s, dir, "documents")
-        .groupBy(col("source")).pivot("lang", langs).agg(count(lit(1)))
-        .select(col("source") +:
-          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
     })
   )
 

@@ -142,6 +142,31 @@ class PlanSpec extends SparkTestBase {
       s"IVF probe join is not broadcast:\n$plan")
   }
 
+  test("q21_rollup: grouping sets expand into ONE partial-aggregated pass") {
+    val plan = planString(SparkEntry.queries("q21_rollup")(spark, sf))
+    assert(plan.contains("Expand"), s"no grouping-set Expand in:\n$plan")
+    assert(shuffleCount(plan) == 1,
+      s"rollup should be one exchange (partial agg before, final after):\n$plan")
+  }
+
+  test("q22_pivot: fixed-domain pivot is one groupBy — no domain-discovery pass") {
+    val df = SparkEntry.queries("q22_pivot")(spark, sf)
+    val plan = planString(df)
+    assert(shuffleCount(plan) == 1, s"pivot should be one exchange:\n$plan")
+    // a pivot without the fixed value list runs a distinct-values job first;
+    // the fixed list keeps it to a single aggregate over the scan
+    assert(!plan.contains("CollectLimit"), s"unexpected collect in:\n$plan")
+  }
+
+  test("ta_sample_topk_agg: partial aggregation before the stratum shuffle") {
+    val plan = planString(SparkEntry.queries("ta_sample_topk_agg")(spark, sf))
+    assert(shuffleCount(plan) == 1, s"bounded top-k should be one exchange:\n$plan")
+    // the typed Aggregator must run map-side (partial_boundedtopk) so the
+    // exchange carries <=k rows per stratum per task, not the whole corpus
+    assert(plan.toLowerCase.contains("partial"),
+      s"no partial aggregation before the shuffle in:\n$plan")
+  }
+
   test("AsofJoin plans zero joins and one key shuffle (union + window, no pair blow-up)") {
     import spark.implicits._
     val right = (0 until 100).map(i => (s"k${i % 7}", i.toLong, i.toLong, s"v$i"))
