@@ -36,7 +36,7 @@ object MainIngest {
         |  MainIngest gen    <feedDir> <numEvents> <numUrls> [eventsPerSegment] [evolveAtEvent]
         |  MainIngest init   <tableDir> [numBuckets]
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets] [maxFileRows]
-        |  MainIngest stream <tableDir> <feedDir> [checkpointDir]
+        |  MainIngest stream <tableDir> <feedDir> [checkpointDir] [mviewDir]
         |  MainIngest compact <tableDir> [tombstoneHorizonIso] [minFilesPerBucket]
         |  MainIngest expire  <tableDir> <keepLastSnapshots>
         |  MainIngest lookup  <tableDir> <url> [url...]
@@ -116,15 +116,18 @@ object MainIngest {
     // foreachBatch MERGE (resumable through the checkpoint dir)
     case "stream" :: tableDir :: feedDir :: rest =>
       val ckpt = rest.headOption
+      val mv = rest.drop(1).headOption
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val table = graft.lake.LakeTable.load(tableDir)
       val cfg = IngestConfig(numBuckets = table.currentSnapshot().numBuckets)
       val n = graft.ingest.StreamingIngest.run(spark, table, feedDir, cfg,
-        checkpointDir = ckpt)
+        checkpointDir = ckpt, mviewRoot = mv)
       val snap = table.currentSnapshot()
       println(s"streamed $n micro-batches; table now at v${snap.version}, " +
-        s"segment ${snap.watermarkSegment}")
+        s"segment ${snap.watermarkSegment}" +
+        mv.map(r => s"; mview at v${graft.lake.MaterializedView
+          .appliedVersion(r).getOrElse(-1L)}").getOrElse(""))
       spark.stop()
 
     // per-bucket file rewrite + optional tombstone GC (late-data horizon).

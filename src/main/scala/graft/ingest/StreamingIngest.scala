@@ -56,7 +56,8 @@ object StreamingIngest {
       config: IngestConfig = IngestConfig(),
       checkpointDir: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None): Long = {
+      maxFilesPerTrigger: Option[Int] = None,
+      mviewRoot: Option[String] = None): Long = {
     val ckpt = checkpointDir.getOrElse(
       Files.createTempDirectory("graft-stream-ckpt").toString)
     var batches = 0L
@@ -83,6 +84,7 @@ object StreamingIngest {
         // monotone in segment id — see scaladoc).
         batchDf.select(count(lit(1))).collect() // force the source to advance
         if (applyContiguous(spark, table, feedDir, config)) batches += 1
+        mviewRoot.foreach(r => refreshMview(spark, table, r))
       }
       .start()
     query.awaitTermination()
@@ -90,8 +92,23 @@ object StreamingIngest {
     // landed mid-drain may still be waiting on disk — apply the remainder.
     if (trigger == Trigger.AvailableNow()) {
       while (applyContiguous(spark, table, feedDir, config)) batches += 1
+      mviewRoot.foreach(r => refreshMview(spark, table, r))
     }
     batches
+  }
+
+  /** Continuous downstream maintenance: after each micro-batch commit, roll
+    * the materialized view forward from that batch's change deltas (seed on
+    * first sight). MV durability is independent of the stream — a crash
+    * between table commit and MV flip just means the next trigger's refresh
+    * covers two versions instead of one (the delta fold composes), so the
+    * MV needs no coordination with the streaming checkpoint. */
+  private def refreshMview(
+      spark: SparkSession, table: LakeTable, mvRoot: String): Unit = {
+    import graft.lake.MaterializedView
+    if (MaterializedView.appliedVersion(mvRoot).isEmpty)
+      MaterializedView.seed(spark, table, mvRoot)
+    else MaterializedView.refresh(spark, table, mvRoot)
   }
 
   /** Apply the contiguous run of on-disk segments above the table watermark

@@ -29,6 +29,32 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(table.currentSnapshot().schema.fieldNames.contains("fetch_status"))
   }
 
+  test("continuous mview maintenance tracks the streamed table to its final version") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.MaterializedView
+    val spec = FeedSpec(seed = 41L, numEvents = 3000, numUrls = 300,
+      eventsPerSegment = 300, evolveAtEvent = 1500)
+    val feed = tmpDir("mvsfeed")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("mvstbl"), CdcIngest.PagesSchemaV1, 8)
+    val mv = tmpDir("mvsroot")
+    // several micro-batches → the MV is seeded on the first and rolled
+    // forward from change deltas on every later one
+    StreamingIngest.run(spark, table, feed, IngestConfig(numBuckets = 8),
+      maxFilesPerTrigger = Some(3), mviewRoot = Some(mv))
+    assert(MaterializedView.appliedVersion(mv)
+      .contains(table.currentSnapshot().version))
+    val t = table.read(spark)
+    val bytes = if (t.columns.contains("content_len"))
+      coalesce(col("content_len"), lit(0L)) else lit(0L)
+    val want = t.groupBy(element_at(split(col("url"), "/"), 3).as("host"))
+      .agg(count(lit(1)).as("n_pages"), sum(bytes).as("total_bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = MaterializedView.read(spark, mv)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "streamed MV diverges from full recompute of the final table")
+  }
+
   test("checkpointed resume: second run applies only newly landed segments") {
     val small = FeedSpec(seed = 37L, numEvents = 1000, numUrls = 200, eventsPerSegment = 250)
     val big = small.copy(numEvents = 2000)
