@@ -44,6 +44,7 @@ object MainIngest {
         |  MainIngest changes <tableDir> <fromVersion> <toVersion>
         |  MainIngest deltas  <tableDir> <fromVersion> <toVersion>
         |  MainIngest mview   <tableDir> <mvDir>
+        |  MainIngest fsck    <feedDir> [--deep]
         |  MainIngest export <tableDir> <outDir> [json|csv|parquet] [--checksums]
         |  MainIngest show   <tableDir>
         |  MainIngest run      <registry.json> [manifestPath]
@@ -205,6 +206,37 @@ object MainIngest {
       println(s"changes v$fromV -> v$toV: $byOp")
       df.orderBy("url").show(10, 60)
       spark.stop()
+
+    // WAL integrity check: walk every segment's framing (and with --deep,
+    // decode + canonically re-encode every record) and report the first
+    // corrupt byte offset per file. Driver-side only — no Spark session;
+    // ingest itself stays fail-fast, this locates the damage to excise.
+    case "fsck" :: feedDir :: rest =>
+      val deep = rest.contains("--deep")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val segs = CdcIngest.listSegments(feedDir, conf)
+      if (segs.isEmpty) { println(s"no segments under $feedDir"); sys.exit(2) }
+      var bad = 0
+      var records = 0L
+      segs.foreach { case (id, path) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        val len = fs.getFileStatus(p).getLen
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0L, bytes) finally in.close()
+        graft.codec.RecordCodec.verifySegment(bytes, deep) match {
+          case Right(n) =>
+            records += n
+            println(f"segment $id%6d OK ($n%d records)")
+          case Left((off, msg)) =>
+            bad += 1
+            println(f"segment $id%6d CORRUPT at byte $off%d: $msg")
+        }
+      }
+      println(s"fsck${if (deep) " --deep" else ""}: ${segs.size} segments, " +
+        s"$records records, $bad corrupt")
+      if (bad > 0) sys.exit(1)
 
     // incrementally maintained materialized view: seed on first call (one
     // full aggregation), roll forward from change deltas on every later

@@ -267,4 +267,63 @@ object RecordCodec {
 
   def decodeSegment(segment: Array[Byte]): Iterator[ChangeEvent] =
     readSegment(segment).map(decode)
+
+  /** Integrity check of one framed segment — the `fsck` primitive, kept
+    * OFF the engine's zero-copy hot path (ingest stays fail-fast; this is
+    * the operator's tool for locating damage before excising/re-fetching a
+    * segment). Validates the header and every record's frame (catching
+    * truncation, corrupt length prefixes, trailing garbage — the
+    * Kafka-log-recovery class of damage: framing is length-prefixed, so a
+    * corrupt length loses the remainder of the file and the FIRST bad
+    * offset is the actionable fact). With `deep = true` every record is
+    * additionally fully decoded and re-encoded, so content damage the
+    * codec can see (bad schema tag, zoned/packed digit nibbles, length
+    * inconsistencies between frame and fields) is caught too; a flipped
+    * bit inside free text is honestly undetectable without per-record
+    * checksums. Returns the record count, or the first problem as
+    * Left(byteOffset, message). */
+  def verifySegment(segment: Array[Byte], deep: Boolean = false): Either[(Long, String), Long] = {
+    if (segment.length < 8) return Left((0L, "segment shorter than header"))
+    val buf = ByteBuffer.wrap(segment)
+    val magic = new Array[Byte](4); buf.get(magic)
+    if (!java.util.Arrays.equals(magic, SegmentMagic))
+      return Left((0L, "bad segment magic"))
+    buf.getInt() match {
+      case 1 => ()
+      case 2 =>
+        if (buf.remaining() < 1) return Left((8L, "missing schema-hint byte"))
+        val sv = buf.get().toInt
+        if (sv < SchemaV1 || sv > SchemaV2) return Left((8L, s"bad schema hint $sv"))
+      case v => return Left((4L, s"bad segment version $v"))
+    }
+    var n = 0L
+    while (buf.remaining() > 4) {
+      val lenPos = buf.position().toLong
+      val len = buf.getInt()
+      if (len <= 0 || len > buf.remaining())
+        return Left((lenPos,
+          s"corrupt frame length $len with ${buf.remaining()} bytes after it"))
+      val off = buf.position()
+      if (deep) {
+        val decoded =
+          try Right(decodeAt(segment, off))
+          catch { case e: Exception => Left(e.toString) }
+        decoded match {
+          case Left(err) => return Left((off.toLong, s"record decode failed: $err"))
+          case Right(e) =>
+            // canonical re-encode must reproduce the frame length exactly —
+            // catches a decode that silently bled past its frame
+            val reenc = encode(e)
+            if (reenc.length != len)
+              return Left((off.toLong,
+                s"frame/content length mismatch: frame $len, re-encoded ${reenc.length}"))
+        }
+      }
+      buf.position(off + len)
+      n += 1
+    }
+    if (buf.remaining() != 0)
+      Left((buf.position().toLong, s"${buf.remaining()} trailing bytes after last frame"))
+    else Right(n)
+  }
 }

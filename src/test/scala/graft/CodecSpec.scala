@@ -141,4 +141,47 @@ class CodecSpec extends AnyFunSuite with PropHelpers {
     assert(back.map(_.url) == evs.map(_.url))
     assert(back.map(_.text) == evs.map(_.text))
   }
+
+  test("verifySegment: clean framing passes, each damage class pinpoints its offset") {
+    val evs = (0 until 50).map { i =>
+      ChangeEvent("U", i.toLong, s"https://x.example.com/$i",
+        new Timestamp(1577836800000L + i), Array[Byte](1, 2, 3), s"t$i", "en", 1, None, None)
+    }
+    val seg = RecordCodec.frameSegment(evs.iterator.map(RecordCodec.encode))
+    assert(RecordCodec.verifySegment(seg) == Right(50L))
+    assert(RecordCodec.verifySegment(seg, deep = true) == Right(50L))
+
+    // truncated tail: the last frame's length overruns what's left
+    val truncated = seg.take(seg.length - 5)
+    assert(RecordCodec.verifySegment(truncated).isLeft)
+
+    // corrupt frame length mid-file: verify names the length prefix offset
+    val frames = RecordCodec.segmentOffsets(seg).toSeq
+    val (off10, _) = frames(10)
+    val badLen = seg.clone()
+    badLen(off10 - 4) = 0x7f.toByte // frame 10's int32 length prefix → huge
+    RecordCodec.verifySegment(badLen) match {
+      case Left((at, msg)) =>
+        assert(at == (off10 - 4).toLong, s"wrong offset $at for corrupt length")
+        assert(msg.contains("corrupt frame length"))
+      case Right(n) => fail(s"corrupt length passed with $n records")
+    }
+
+    // bad magic and bad version
+    val badMagic = seg.clone(); badMagic(0) = 'X'.toByte
+    assert(RecordCodec.verifySegment(badMagic) == Left((0L, "bad segment magic")))
+
+    // content damage inside a record: invisible to framing, caught by deep
+    val badContent = seg.clone()
+    val (off20, _) = frames(20)
+    badContent(off20) = 99.toByte // schema-version tag of record 20
+    assert(RecordCodec.verifySegment(badContent) == Right(50L),
+      "framing-only verify must not see content damage")
+    RecordCodec.verifySegment(badContent, deep = true) match {
+      case Left((at, msg)) =>
+        assert(at == off20.toLong)
+        assert(msg.contains("decode failed"))
+      case Right(n) => fail(s"deep verify missed content damage, $n records")
+    }
+  }
 }
