@@ -460,8 +460,11 @@ object Bench {
     // spec-keyed scratch dir so the second run of a round (and the
     // teardown-race double-run) skips the minutes of serial generation
     def cachedFeed(spec: FeedSpec): String = {
+      // "-f3": WAL format version is part of the identity — a cached
+      // CRC-less (v2) feed must not stand in for the current write format,
+      // or the bench silently skips the winner-CRC verify cost
       val key = s"feedcache-${spec.seed}-${spec.numEvents}-${spec.numUrls}-" +
-        s"${spec.eventsPerSegment}-${spec.evolveAtEvent}-${spec.hotDomainWeight}"
+        s"${spec.eventsPerSegment}-${spec.evolveAtEvent}-${spec.hotDomainWeight}-f3"
       val dir = java.nio.file.Paths.get(Scratch, key)
       val nSegs = (spec.numEvents + spec.eventsPerSegment - 1) / spec.eventsPerSegment
       def segCount(d: java.nio.file.Path): Long =

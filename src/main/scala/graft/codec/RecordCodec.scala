@@ -112,19 +112,14 @@ object RecordCodec {
     * filtering; the key pass never copies payloads at all). */
   def segmentOffsets(segment: Array[Byte]): Iterator[(Int, Int)] = {
     val buf = ByteBuffer.wrap(segment)
-    val magic = new Array[Byte](4); buf.get(magic)
-    require(java.util.Arrays.equals(magic, SegmentMagic), "bad segment magic")
-    buf.getInt() match {
-      case 1 => ()
-      case 2 => buf.get()
-      case v => throw new IllegalArgumentException(s"bad segment version $v")
-    }
+    val hasCrc = parseHeader(buf)._2
+    val crcLen = if (hasCrc) 4 else 0
     new Iterator[(Int, Int)] {
       def hasNext: Boolean = buf.remaining() > 4
       def next(): (Int, Int) = {
         val len = buf.getInt()
         val off = buf.position()
-        buf.position(off + len)
+        buf.position(off + len + crcLen)
         (off, len)
       }
     }
@@ -218,16 +213,66 @@ object RecordCodec {
 
   /** Segment header: magic + int32 format version + (format>=2) one byte
     * carrying the max record schema version inside — a driver-readable hint
-    * so schema-evolution decisions never need a Spark job over the data. */
-  def frameSegment(records: Iterator[Array[Byte]], maxSchemaVersion: Int = SchemaV1): Array[Byte] = {
+    * so schema-evolution decisions never need a Spark job over the data.
+    *
+    * Format 3 (the default write format) appends a CRC32 of each record
+    * after its bytes: `[len][record][crc32]`. That closes the
+    * damage class `fsck` alone cannot see (a flipped bit inside free text)
+    * for every newly written segment, at ~0.5 cycles/byte on hardware-
+    * accelerated CRC32. Formats 1/2 remain fully readable. Integrity
+    * contract at ingest: [[readSegment]] (full-record paths) verifies
+    * every record it materializes, and the winner decode path verifies
+    * each LWW winner before it can enter the table — corrupt bytes are
+    * never committed; the zero-copy KEY pass deliberately skips
+    * verification (it reads 20-ish header bytes per record, and a
+    * corruption there either loses to CRC at winner decode or promotes an
+    * authentic-but-older record — `fsck` is the full audit). */
+  def frameSegment(records: Iterator[Array[Byte]], maxSchemaVersion: Int = SchemaV1,
+      withCrc: Boolean = true): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.write(SegmentMagic)
-    out.writeInt(2)
+    out.writeInt(if (withCrc) 3 else 2)
     out.writeByte(maxSchemaVersion)
-    records.foreach { r => out.writeInt(r.length); out.write(r) }
+    val crc = new java.util.zip.CRC32()
+    records.foreach { r =>
+      out.writeInt(r.length); out.write(r)
+      if (withCrc) {
+        crc.reset(); crc.update(r)
+        out.writeInt(crc.getValue.toInt)
+      }
+    }
     out.flush()
     bos.toByteArray
+  }
+
+  /** CRC32 of `len` bytes at `off`, compared to the int32 stored right
+    * after them (format-3 frames). */
+  def crcMatchesAt(bytes: Array[Byte], off: Int, len: Int): Boolean = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, off, len)
+    crc.getValue.toInt == ByteBuffer.wrap(bytes, off + len, 4).getInt()
+  }
+
+  final class CorruptRecordException(msg: String) extends RuntimeException(msg)
+
+  /** Parse the segment header; returns (hasSchemaHint, hasCrc) with the
+    * buffer positioned at the first frame. */
+  private def parseHeader(buf: ByteBuffer): (Boolean, Boolean) = {
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(java.util.Arrays.equals(magic, SegmentMagic), "bad segment magic")
+    buf.getInt() match {
+      case 1 => (false, false)
+      case 2 => buf.get(); (true, false)
+      case 3 => buf.get(); (true, true)
+      case v => throw new IllegalArgumentException(s"bad segment version $v")
+    }
+  }
+
+  /** Whether a segment's frames carry per-record CRC32s (format 3). */
+  def segmentHasCrc(segment: Array[Byte]): Boolean = {
+    val buf = ByteBuffer.wrap(segment)
+    parseHeader(buf)._2
   }
 
   val SegmentHeaderLen: Int = 9 // magic(4) + version(4) + maxSchemaVersion(1)
@@ -241,26 +286,32 @@ object RecordCodec {
     require(java.util.Arrays.equals(magic, SegmentMagic), "bad segment magic")
     buf.getInt() match {
       case 1          => None
-      case 2          => Some(buf.get().toInt)
+      case 2 | 3      => Some(buf.get().toInt)
       case v          => throw new IllegalArgumentException(s"bad segment version $v")
     }
   }
 
-  /** Iterate raw records of a framed segment (lazy, no copy of the whole). */
+  /** Iterate raw records of a framed segment (lazy, no copy of the whole).
+    * Format-3 frames are CRC-verified as they are materialized — a
+    * mismatch throws [[CorruptRecordException]] (ingest is fail-fast;
+    * `fsck` locates and the operator excises). */
   def readSegment(segment: Array[Byte]): Iterator[Array[Byte]] = {
     val buf = ByteBuffer.wrap(segment)
-    val magic = new Array[Byte](4); buf.get(magic)
-    require(java.util.Arrays.equals(magic, SegmentMagic), "bad segment magic")
-    buf.getInt() match {
-      case 1 => ()
-      case 2 => buf.get() // skip the schema hint byte
-      case v => throw new IllegalArgumentException(s"bad segment version $v")
-    }
+    val hasCrc = parseHeader(buf)._2
+    val crc = new java.util.zip.CRC32()
     new Iterator[Array[Byte]] {
       def hasNext: Boolean = buf.remaining() > 4
       def next(): Array[Byte] = {
         val len = buf.getInt()
-        val a = new Array[Byte](len); buf.get(a); a
+        val a = new Array[Byte](len); buf.get(a)
+        if (hasCrc) {
+          crc.reset(); crc.update(a)
+          val stored = buf.getInt()
+          if (crc.getValue.toInt != stored)
+            throw new CorruptRecordException(
+              s"record CRC mismatch at segment offset ${buf.position() - len - 8}")
+        }
+        a
       }
     }
   }
@@ -288,22 +339,28 @@ object RecordCodec {
     val magic = new Array[Byte](4); buf.get(magic)
     if (!java.util.Arrays.equals(magic, SegmentMagic))
       return Left((0L, "bad segment magic"))
-    buf.getInt() match {
-      case 1 => ()
-      case 2 =>
+    val hasCrc = buf.getInt() match {
+      case 1 => false
+      case v @ (2 | 3) =>
         if (buf.remaining() < 1) return Left((8L, "missing schema-hint byte"))
         val sv = buf.get().toInt
         if (sv < SchemaV1 || sv > SchemaV2) return Left((8L, s"bad schema hint $sv"))
+        v == 3
       case v => return Left((4L, s"bad segment version $v"))
     }
+    val crcLen = if (hasCrc) 4 else 0
     var n = 0L
     while (buf.remaining() > 4) {
       val lenPos = buf.position().toLong
       val len = buf.getInt()
-      if (len <= 0 || len > buf.remaining())
+      if (len <= 0 || len + crcLen > buf.remaining())
         return Left((lenPos,
           s"corrupt frame length $len with ${buf.remaining()} bytes after it"))
       val off = buf.position()
+      // format 3: every byte of every record is checksummed — content
+      // damage is caught even WITHOUT --deep
+      if (hasCrc && !crcMatchesAt(segment, off, len))
+        return Left((off.toLong, "record CRC mismatch"))
       if (deep) {
         val decoded =
           try Right(decodeAt(segment, off))
@@ -319,7 +376,7 @@ object RecordCodec {
                 s"frame/content length mismatch: frame $len, re-encoded ${reenc.length}"))
         }
       }
-      buf.position(off + len)
+      buf.position(off + len + crcLen)
       n += 1
     }
     if (buf.remaining() != 0)

@@ -440,10 +440,15 @@ object CdcIngest {
         .flatMap { p =>
           val bytes = SegmentCache.bytes(p, confBc.value.value, retain = false)
           val keep = setBc.value
-          RecordCodec.segmentOffsets(bytes).flatMap { case (off, _) =>
+          val hasCrc = RecordCodec.segmentHasCrc(bytes)
+          RecordCodec.segmentOffsets(bytes).flatMap { case (off, len) =>
             // zero-copy: test the seq in place; only winners are decoded
             if (!keep.contains(RecordCodec.seqAt(bytes, off))) None
             else {
+              // integrity gate: no byte enters the table unverified
+              if (hasCrc && !RecordCodec.crcMatchesAt(bytes, off, len))
+                throw new RecordCodec.CorruptRecordException(
+                  s"winner record CRC mismatch in $p at offset $off")
               val e = RecordCodec.decodeAt(bytes, off)
               Some(FullWinner(e.op, e.seq, e.url, e.warcTs, e.html, e.text,
                 e.lang, e.schemaVersion, e.fetch_status, e.content_len, 1L))

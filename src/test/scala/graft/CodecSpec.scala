@@ -171,17 +171,57 @@ class CodecSpec extends AnyFunSuite with PropHelpers {
     val badMagic = seg.clone(); badMagic(0) = 'X'.toByte
     assert(RecordCodec.verifySegment(badMagic) == Left((0L, "bad segment magic")))
 
-    // content damage inside a record: invisible to framing, caught by deep
+    // content damage inside a v3 record: the per-record CRC catches ANY
+    // byte flip in SHALLOW mode — including free-text damage no decode
+    // validation could ever see
     val badContent = seg.clone()
-    val (off20, _) = frames(20)
-    badContent(off20) = 99.toByte // schema-version tag of record 20
-    assert(RecordCodec.verifySegment(badContent) == Right(50L),
-      "framing-only verify must not see content damage")
-    RecordCodec.verifySegment(badContent, deep = true) match {
+    val (off20, len20) = frames(20)
+    badContent(off20 + len20 / 2) = (badContent(off20 + len20 / 2) ^ 0x40).toByte
+    RecordCodec.verifySegment(badContent) match {
       case Left((at, msg)) =>
         assert(at == off20.toLong)
+        assert(msg.contains("CRC mismatch"))
+      case Right(n) => fail(s"CRC missed content damage, $n records")
+    }
+    // ...and readSegment (the ingest full-record path) fail-fasts on it
+    intercept[RecordCodec.CorruptRecordException] {
+      RecordCodec.readSegment(badContent).foreach(_ => ())
+    }
+
+    // legacy format 2 (no CRC): framing-only verify is blind to content
+    // damage; --deep still catches codec-visible classes
+    val seg2 = RecordCodec.frameSegment(
+      evs.iterator.map(RecordCodec.encode), withCrc = false)
+    assert(RecordCodec.verifySegment(seg2) == Right(50L))
+    val frames2 = RecordCodec.segmentOffsets(seg2).toSeq
+    val bad2 = seg2.clone()
+    bad2(frames2(20)._1) = 99.toByte // schema-version tag of record 20
+    assert(RecordCodec.verifySegment(bad2) == Right(50L),
+      "framing-only verify must not see content damage in a CRC-less segment")
+    RecordCodec.verifySegment(bad2, deep = true) match {
+      case Left((at, msg)) =>
+        assert(at == frames2(20)._1.toLong)
         assert(msg.contains("decode failed"))
       case Right(n) => fail(s"deep verify missed content damage, $n records")
     }
+  }
+
+  test("format interop: v2 and v3 segments decode identically; offsets agree") {
+    val evs = (0 until 40).map { i =>
+      ChangeEvent("U", i.toLong, s"https://y.example.com/$i",
+        new Timestamp(1577836800000L + i), Array[Byte](9, 8), s"body $i", "en", 1, None, None)
+    }
+    val v2 = RecordCodec.frameSegment(evs.iterator.map(RecordCodec.encode), withCrc = false)
+    val v3 = RecordCodec.frameSegment(evs.iterator.map(RecordCodec.encode))
+    assert(!RecordCodec.segmentHasCrc(v2) && RecordCodec.segmentHasCrc(v3))
+    assert(RecordCodec.segmentSchemaHint(v2.take(9)) == RecordCodec.segmentSchemaHint(v3.take(9)))
+    val d2 = RecordCodec.decodeSegment(v2).toSeq
+    val d3 = RecordCodec.decodeSegment(v3).toSeq
+    assert(d2.map(_.seq) == d3.map(_.seq) && d2.map(_.text) == d3.map(_.text))
+    // the zero-copy walker sees the same (record, length) stream in both
+    val o2 = RecordCodec.segmentOffsets(v2).map(_._2).toSeq
+    val o3 = RecordCodec.segmentOffsets(v3).map(_._2).toSeq
+    assert(o2 == o3, "frame lengths diverge between formats")
+    assert(RecordCodec.segmentOffsets(v3).size == 40)
   }
 }

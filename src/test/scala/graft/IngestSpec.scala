@@ -278,6 +278,58 @@ class IngestSpec extends SparkTestBase {
     assertMatchesOracle(table, spec)
   }
 
+  test("mixed WAL formats: a v2 (CRC-less) and v3 feed replays to the oracle state") {
+    import graft.codec.RecordCodec
+    val spec = FeedSpec(seed = 53L, numEvents = 2000, numUrls = 200, eventsPerSegment = 500)
+    val feed = tmpDir("mixfeed")
+    // rewrite segments 0-1 in legacy format 2 (an old producer's files),
+    // leave 2-3 as FeedGen wrote them (format 3, per-record CRC)
+    FeedGen.writeSegments(spec, feed)
+    FeedGen.events(spec).grouped(spec.eventsPerSegment).zipWithIndex
+      .take(2).foreach { case (chunk, segId) =>
+        val maxSv = chunk.iterator.map(_.schemaVersion).max
+        Files.write(Paths.get(feed, f"segment-$segId%06d.bin"),
+          RecordCodec.frameSegment(chunk.iterator.map(RecordCodec.encode),
+            maxSv, withCrc = false))
+      }
+    val segs = (0 until 4).map(i => Paths.get(feed, f"segment-$i%06d.bin"))
+    assert(!RecordCodec.segmentHasCrc(Files.readAllBytes(segs(0))))
+    assert(RecordCodec.segmentHasCrc(Files.readAllBytes(segs(3))))
+    val table = mkTable()
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    assertMatchesOracle(table, spec)
+  }
+
+  test("corrupt winner record fails the batch before anything commits") {
+    import graft.codec.RecordCodec
+    // distinct-url inserts → every record is an LWW winner and passes the
+    // integrity gate in the payload decode
+    val evs = (0 until 300).map { i =>
+      ChangeEvent(ChangeEvent.OpInsert, i.toLong, s"https://c.example.com/p/$i",
+        RecordCodec.microsToTimestamp(1577836800000000L + i * 1000000L),
+        Array[Byte](1, 2), s"text $i", "en", RecordCodec.SchemaV1, None, None)
+    }
+    val feed = tmpDir("crfeed")
+    val seg = RecordCodec.frameSegment(evs.iterator.map(RecordCodec.encode))
+    // flip a byte INSIDE record 100's free text — only the CRC can see this
+    val (off, len) = RecordCodec.segmentOffsets(seg).drop(100).next()
+    seg(off + len - 2) = (seg(off + len - 2) ^ 0x20).toByte
+    Files.write(Paths.get(feed, "segment-000000.bin"), seg)
+    val table = mkTable()
+    val before = table.currentSnapshot().version
+    val thrown = intercept[Throwable] {
+      CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8))
+    }
+    def hasCorrupt(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[RecordCodec.CorruptRecordException] ||
+        Option(t.getMessage).exists(_.contains("CRC mismatch")) ||
+        hasCorrupt(t.getCause))
+    assert(hasCorrupt(thrown), s"unexpected failure: $thrown")
+    // fail-fast means fail-CLEAN: no snapshot advanced, nothing committed
+    assert(table.currentSnapshot().version == before)
+    assert(table.read(spark).count() == 0)
+  }
+
   test("lineage + metrics metadata tables are populated and consistent") {
     val spec = FeedSpec(seed = 29L, numEvents = 2000, numUrls = 300, eventsPerSegment = 500)
     val table = mkTable()
