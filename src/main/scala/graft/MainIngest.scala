@@ -44,7 +44,7 @@ object MainIngest {
         |  MainIngest changes <tableDir> <fromVersion> <toVersion>
         |  MainIngest deltas  <tableDir> <fromVersion> <toVersion>
         |  MainIngest mview   <tableDir> <mvDir>
-        |  MainIngest fsck    <feedDir> [--deep]
+        |  MainIngest fsck    <feedDir> [--deep] [--repair-tail]
         |  MainIngest export <tableDir> <outDir> [json|csv|parquet] [--checksums]
         |  MainIngest show   <tableDir>
         |  MainIngest run      <registry.json> [manifestPath]
@@ -213,9 +213,11 @@ object MainIngest {
     // ingest itself stays fail-fast, this locates the damage to excise.
     case "fsck" :: feedDir :: rest =>
       val deep = rest.contains("--deep")
+      val repairTail = rest.contains("--repair-tail")
       val conf = new org.apache.hadoop.conf.Configuration()
       val segs = CdcIngest.listSegments(feedDir, conf)
       if (segs.isEmpty) { println(s"no segments under $feedDir"); sys.exit(2) }
+      val tailId = segs.map(_._1).max
       var bad = 0
       var records = 0L
       segs.foreach { case (id, path) =>
@@ -229,9 +231,35 @@ object MainIngest {
           case Right(n) =>
             records += n
             println(f"segment $id%6d OK ($n%d records)")
+          case Left((off, msg)) if repairTail && id == tailId &&
+              off > graft.codec.RecordCodec.SegmentHeaderLen =>
+            // torn write on the WAL tail (producer crashed mid-append):
+            // truncate to the last complete frame — Kafka log-recovery
+            // semantics. Only the TAIL may be repaired this way; damage in
+            // the middle of the WAL means lost history and must be
+            // re-fetched from the source, never papered over.
+            val kept = java.util.Arrays.copyOfRange(bytes, 0, off.toInt)
+            graft.codec.RecordCodec.verifySegment(kept, deep) match {
+              case Right(n) =>
+                val tmp = new org.apache.hadoop.fs.Path(path + ".repair")
+                val out = fs.create(tmp, true)
+                try out.write(kept) finally out.close()
+                fs.delete(p, false)
+                fs.rename(tmp, p)
+                records += n
+                println(f"segment $id%6d REPAIRED: truncated at byte $off%d " +
+                  f"($n%d records kept) — was: $msg")
+              case Left(_) =>
+                bad += 1
+                println(f"segment $id%6d CORRUPT at byte $off%d: $msg " +
+                  "(not a clean torn tail — re-fetch)")
+            }
           case Left((off, msg)) =>
             bad += 1
-            println(f"segment $id%6d CORRUPT at byte $off%d: $msg")
+            val hint =
+              if (repairTail && id != tailId) " (mid-WAL damage — re-fetch; only the tail is repairable)"
+              else ""
+            println(f"segment $id%6d CORRUPT at byte $off%d: $msg$hint")
         }
       }
       println(s"fsck${if (deep) " --deep" else ""}: ${segs.size} segments, " +
