@@ -228,6 +228,49 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(names.contains("state.json"))
   }
 
+  test("materialized view: a crash-orphaned version dir is overwritten, not trusted") {
+    import graft.lake.MaterializedView
+    val feed = tmpDir("mvcfeed")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("mvctbl"), CdcIngest.PagesSchemaV1, 8)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    val mv = tmpDir("mvcroot")
+    MaterializedView.seed(spark, table, mv)
+    // simulate a refresh that crashed AFTER writing its version dir but
+    // BEFORE flipping state.json: a later refresh must overwrite the
+    // partial dir, never serve it
+    val liveBase = FeedGen.expectedState(FeedGen.events(spec))
+    val picks = (0 until spec.numUrls).iterator.map(FeedGen.urlOf(spec, _))
+      .filter(liveBase.contains).take(3).toSeq
+    raceSegment(feed, 6, picks)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    val crashV = table.currentSnapshot().version
+    val partial = Paths.get(mv, f"v$crashV%012d")
+    Files.createDirectories(partial)
+    Files.write(partial.resolve("garbage.parquet"), Array[Byte](1, 2, 3))
+    val (_, to) = MaterializedView.refresh(spark, table, mv)
+    assert(to == crashV)
+    // the MV serves the REAL refresh result, not the crash debris
+    val t = table.read(spark)
+    val want = t.groupBy(element_at(split(col("url"), "/"), 3).as("host"))
+      .agg(count(lit(1)).as("n_pages"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = MaterializedView.read(spark, mv).select("host", "n_pages")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, "crash-orphaned MV dir leaked into the served view")
+  }
+
+  test("changeDeltas across a pure compaction is empty (renames are not changes)") {
+    val table = replay()
+    val v0 = table.currentSnapshot().version
+    CdcIngest.compact(spark, table)
+    val v1 = table.currentSnapshot().version
+    assert(v1 > v0)
+    assert(table.changeDeltas(spark, v0, v1).isEmpty,
+      "compaction's file renames surfaced as logical changes")
+    assert(table.changesBetween(spark, v0, v1).isEmpty)
+  }
+
   test("compact: optimistic commit rebases around a racing ingest (partial progress)") {
     val feed = tmpDir("ccfeed")
     FeedGen.writeSegments(spec, feed)
