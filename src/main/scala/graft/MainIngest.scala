@@ -231,28 +231,29 @@ object MainIngest {
           case Right(n) =>
             records += n
             println(f"segment $id%6d OK ($n%d records)")
-          case Left((off, msg)) if repairTail && id == tailId &&
-              off > graft.codec.RecordCodec.SegmentHeaderLen =>
+          case Left((off, msg)) if repairTail && id == tailId =>
             // torn write on the WAL tail (producer crashed mid-append):
-            // truncate to the last complete frame — Kafka log-recovery
-            // semantics. Only the TAIL may be repaired this way; damage in
-            // the middle of the WAL means lost history and must be
-            // re-fetched from the source, never papered over.
-            val kept = java.util.Arrays.copyOfRange(bytes, 0, off.toInt)
-            graft.codec.RecordCodec.verifySegment(kept, deep) match {
-              case Right(n) =>
+            // truncate to the end of the last fully-valid frame — Kafka
+            // log-recovery semantics. Only the TAIL may be repaired this
+            // way; damage in the middle of the WAL means lost history and
+            // must be re-fetched from the source, never papered over.
+            graft.codec.RecordCodec.truncationPoint(bytes) match {
+              case Some(cut) if cut > graft.codec.RecordCodec.SegmentHeaderLen =>
+                val kept = java.util.Arrays.copyOfRange(bytes, 0, cut)
+                val n = graft.codec.RecordCodec.verifySegment(kept, deep)
+                  .getOrElse(sys.error("truncation point failed re-verify"))
                 val tmp = new org.apache.hadoop.fs.Path(path + ".repair")
                 val out = fs.create(tmp, true)
                 try out.write(kept) finally out.close()
                 fs.delete(p, false)
                 fs.rename(tmp, p)
                 records += n
-                println(f"segment $id%6d REPAIRED: truncated at byte $off%d " +
+                println(f"segment $id%6d REPAIRED: truncated at byte $cut%d " +
                   f"($n%d records kept) — was: $msg")
-              case Left(_) =>
+              case _ =>
                 bad += 1
                 println(f"segment $id%6d CORRUPT at byte $off%d: $msg " +
-                  "(not a clean torn tail — re-fetch)")
+                  "(no valid prefix to keep — re-fetch)")
             }
           case Left((off, msg)) =>
             bad += 1

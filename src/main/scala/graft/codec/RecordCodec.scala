@@ -383,4 +383,30 @@ object RecordCodec {
       Left((buf.position().toLong, s"${buf.remaining()} trailing bytes after last frame"))
     else Right(n)
   }
+
+  /** Torn-write recovery point: the byte offset just past the LAST frame
+    * that passes framing (and, for format 3, CRC) — i.e. the safe length
+    * to truncate a damaged segment to. None when the segment is clean
+    * (nothing to repair) or the header itself is unreadable (nothing to
+    * keep). Used by `fsck --repair-tail`; truncation at this point always
+    * yields a segment [[verifySegment]] accepts. */
+  def truncationPoint(segment: Array[Byte]): Option[Int] = {
+    val buf = ByteBuffer.wrap(segment)
+    val hasCrc =
+      try parseHeader(buf)._2
+      catch { case _: Exception => return None }
+    val crcLen = if (hasCrc) 4 else 0
+    var lastGood = buf.position()
+    while (buf.remaining() > 4) {
+      val len = buf.getInt()
+      if (len <= 0 || len + crcLen > buf.remaining())
+        return Some(lastGood)
+      val off = buf.position()
+      if (hasCrc && !crcMatchesAt(segment, off, len))
+        return Some(lastGood)
+      buf.position(off + len + crcLen)
+      lastGood = buf.position()
+    }
+    if (buf.remaining() != 0) Some(lastGood) else None
+  }
 }

@@ -206,6 +206,30 @@ class CodecSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("truncationPoint: ends at the last fully-valid frame for every damage class") {
+    val evs = (0 until 30).map { i =>
+      ChangeEvent("U", i.toLong, s"https://z.example.com/$i",
+        new Timestamp(1577836800000L + i), Array[Byte](7), s"tt$i", "en", 1, None, None)
+    }
+    val seg = RecordCodec.frameSegment(evs.iterator.map(RecordCodec.encode))
+    assert(RecordCodec.truncationPoint(seg).isEmpty, "clean segment needs no repair")
+    val frames = RecordCodec.segmentOffsets(seg).toSeq
+    def endOf(i: Int): Int = frames(i)._1 + frames(i)._2 + 4 // crc
+    // torn mid-record: cut inside the last record
+    val torn = seg.take(seg.length - 3)
+    assert(RecordCodec.truncationPoint(torn) == Some(endOf(28)))
+    assert(RecordCodec.verifySegment(torn.take(endOf(28))) == Right(29L))
+    // CRC-damaged record 29 (content flip): keep through record 28
+    val rot = seg.clone(); rot(frames(29)._1 + 2) = (rot(frames(29)._1 + 2) ^ 1).toByte
+    assert(RecordCodec.truncationPoint(rot) == Some(endOf(28)))
+    // corrupt length prefix of record 29: same cut
+    val badLen = seg.clone(); badLen(frames(29)._1 - 4) = 0x7f.toByte
+    assert(RecordCodec.truncationPoint(badLen) == Some(endOf(28)))
+    // damage in record 0: only the header survives — no useful prefix
+    val first = seg.clone(); first(frames(0)._1) = (first(frames(0)._1) ^ 1).toByte
+    assert(RecordCodec.truncationPoint(first) == Some(RecordCodec.SegmentHeaderLen))
+  }
+
   test("format interop: v2 and v3 segments decode identically; offsets agree") {
     val evs = (0 until 40).map { i =>
       ChangeEvent("U", i.toLong, s"https://y.example.com/$i",
