@@ -645,6 +645,25 @@ object SystemQueries {
       MaterializedView.seed(s, table, mvRoot, Some(vs(1)))
       vs.drop(2).foreach(v => MaterializedView.refresh(s, table, mvRoot, Some(v)))
       MaterializedView.read(s, mvRoot)
+    }),
+
+    // the CONTINUOUS form of the same contract: the MV is maintained by
+    // the Structured Streaming front-end itself, refreshed after every
+    // micro-batch commit (seed on first), and its FINAL content must equal
+    // the same DuckDB full recompute — streaming delivery order, per-batch
+    // delta folds, and the MV commit protocol all under one hash equality.
+    "cdc_stream_mview" -> ((s, dir) => {
+      writeTruth(s)
+      val work = Files.createTempDirectory("cdcsm")
+      val feedDir = work.resolve("feed").toString
+      FeedGen.writeSegments(CdcSpec, feedDir)
+      val table = LakeTable.create(work.resolve("table").toString,
+        CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
+      graft.ingest.StreamingIngest.run(s, table, feedDir,
+        IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 2),
+        checkpointDir = Some(work.resolve("ckpt").toString),
+        mviewRoot = Some(work.resolve("mv").toString))
+      MaterializedView.read(s, work.resolve("mv").toString)
     })
   )
 
@@ -884,6 +903,16 @@ object SystemQueries {
     // COALESCE(content_len, 0) mirrors the engine's 0-fill (pre-evolution
     // rows have no content_len); SUM(BIGINT) is HUGEINT in DuckDB → cast.
     "cdc_incr_mview" ->
+      s"""WITH w AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+         |  FROM read_parquet('$TruthGlob'))
+         |SELECT string_split(url, '/')[3] AS host, COUNT(*) AS n_pages,
+         |  CAST(SUM(COALESCE(content_len, 0)) AS BIGINT) AS total_bytes
+         |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY 1""".stripMargin,
+
+    // the streaming-maintained MV must land on the identical full
+    // recompute — shared oracle with the batch incremental form
+    "cdc_stream_mview" ->
       s"""WITH w AS (SELECT *,
          |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
          |  FROM read_parquet('$TruthGlob'))
