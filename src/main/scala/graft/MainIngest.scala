@@ -37,7 +37,7 @@ object MainIngest {
         |  MainIngest init   <tableDir> [numBuckets]
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets] [maxFileRows]
         |  MainIngest stream <tableDir> <feedDir> [checkpointDir] [mviewDir]
-        |  MainIngest compact <tableDir> [tombstoneHorizonIso] [minFilesPerBucket]
+        |  MainIngest compact <tableDir> [tombstoneHorizonIso] [minFilesPerBucket] [maxFileRows]
         |  MainIngest expire  <tableDir> <keepLastSnapshots>
         |  MainIngest lookup  <tableDir> <url> [url...]
         |  MainIngest asof    <tableDir> <version>
@@ -137,9 +137,21 @@ object MainIngest {
     // routine maintenance shape at scale, where a full-table rewrite of
     // well-compacted buckets would be 100 TB of wasted IO.
     case "compact" :: tableDir :: rest =>
-      val horizon = rest.headOption.filter(_.contains("-")).map(h =>
+      // numeric args: first = minFilesPerBucket, second = maxFileRows; any
+      // non-numeric arg must be an ISO-8601 horizon (parse fails LOUDLY —
+      // a mistyped horizon must never be silently reinterpreted)
+      val nums = rest.filter(a => a.nonEmpty && a.forall(_.isDigit))
+      val horizon = rest.filterNot(nums.contains).headOption.map(h =>
         java.sql.Timestamp.from(java.time.Instant.parse(h)))
-      val minFiles = rest.find(a => a.forall(_.isDigit) && a.nonEmpty).map(_.toInt)
+      // parse as Long first: an epoch-millis value overflows Int and must
+      // hit the friendly range error below, not a NumberFormatException
+      val minFiles = nums.headOption.map(a => BigInt(a))
+      val maxFileRows = nums.drop(1).headOption.map(_.toLong).getOrElse(0L)
+      minFiles.filter(k => k < 2 || k > 100000).foreach { k =>
+        System.err.println(s"minFilesPerBucket $k out of range [2, 100000] " +
+          "(an epoch-millis horizon? pass ISO-8601, e.g. 2020-01-01T00:00:00Z)")
+        sys.exit(2)
+      }
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val table = LakeTable.load(tableDir)
@@ -152,7 +164,7 @@ object MainIngest {
         println(s"nothing to do: no bucket has >= ${minFiles.get} files")
         spark.stop(); sys.exit(0)
       }
-      val snap = CdcIngest.compact(spark, table, horizon, buckets)
+      val snap = CdcIngest.compact(spark, table, horizon, buckets, maxFileRows)
       println(s"compacted $before -> ${snap.files.size} files at v${snap.version}" +
         buckets.map(bs => s" (${bs.size} long-tail buckets)").getOrElse("") +
         horizon.map(h => s" (tombstones before $h dropped)").getOrElse(""))
@@ -224,6 +236,13 @@ object MainIngest {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(conf)
         val len = fs.getFileStatus(p).getLen
+        // sanity bound BEFORE allocating: a >=2 GiB "segment" would turn
+        // len.toInt negative and crash the very tool meant to diagnose it
+        if (len > (1L << 30)) {
+          bad += 1
+          println(f"segment $id%6d CORRUPT: size $len%d bytes exceeds the " +
+            "1 GiB segment sanity bound — not a WAL segment")
+        } else {
         val bytes = new Array[Byte](len.toInt)
         val in = fs.open(p)
         try in.readFully(0L, bytes) finally in.close()
@@ -240,16 +259,30 @@ object MainIngest {
             graft.codec.RecordCodec.truncationPoint(bytes) match {
               case Some(cut) if cut > graft.codec.RecordCodec.SegmentHeaderLen =>
                 val kept = java.util.Arrays.copyOfRange(bytes, 0, cut)
-                val n = graft.codec.RecordCodec.verifySegment(kept, deep)
-                  .getOrElse(sys.error("truncation point failed re-verify"))
-                val tmp = new org.apache.hadoop.fs.Path(path + ".repair")
-                val out = fs.create(tmp, true)
-                try out.write(kept) finally out.close()
-                fs.delete(p, false)
-                fs.rename(tmp, p)
-                records += n
-                println(f"segment $id%6d REPAIRED: truncated at byte $cut%d " +
-                  f"($n%d records kept) — was: $msg")
+                graft.codec.RecordCodec.verifySegment(kept, deep) match {
+                  case Right(n) =>
+                    // truncate IN PLACE: the repaired content is a strict
+                    // prefix of the file, so a crash mid-operation leaves a
+                    // valid-or-again-repairable tail — no delete/rename
+                    // window that could lose the whole segment
+                    val truncated =
+                      try fs.truncate(p, cut.toLong)
+                      catch { case _: Exception => false }
+                    if (!truncated) {
+                      val out = fs.create(p, true)
+                      try out.write(kept) finally out.close()
+                    }
+                    records += n
+                    println(f"segment $id%6d REPAIRED: truncated at byte $cut%d " +
+                      f"($n%d records kept) — was: $msg")
+                  case Left((o2, m2)) =>
+                    // framing/CRC-clean prefix still has deep-only damage
+                    // (e.g. a CRC-less legacy record with a rotted field):
+                    // report, never crash the run, never repair blindly
+                    bad += 1
+                    println(f"segment $id%6d CORRUPT at byte $o2%d: $m2 " +
+                      "(deep damage before the torn tail — re-fetch)")
+                }
               case _ =>
                 bad += 1
                 println(f"segment $id%6d CORRUPT at byte $off%d: $msg " +
@@ -261,6 +294,7 @@ object MainIngest {
               if (repairTail && id != tailId) " (mid-WAL damage — re-fetch; only the tail is repairable)"
               else ""
             println(f"segment $id%6d CORRUPT at byte $off%d: $msg$hint")
+        }
         }
       }
       println(s"fsck${if (deep) " --deep" else ""}: ${segs.size} segments, " +

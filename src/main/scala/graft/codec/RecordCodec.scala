@@ -353,7 +353,9 @@ object RecordCodec {
     while (buf.remaining() > 4) {
       val lenPos = buf.position().toLong
       val len = buf.getInt()
-      if (len <= 0 || len + crcLen > buf.remaining())
+      // compare as subtraction from remaining: `len + crcLen` overflows Int
+      // for corrupt lengths near Int.MaxValue and would sneak past the guard
+      if (len <= 0 || len > buf.remaining() - crcLen)
         return Left((lenPos,
           s"corrupt frame length $len with ${buf.remaining()} bytes after it"))
       val off = buf.position()
@@ -399,7 +401,7 @@ object RecordCodec {
     var lastGood = buf.position()
     while (buf.remaining() > 4) {
       val len = buf.getInt()
-      if (len <= 0 || len + crcLen > buf.remaining())
+      if (len <= 0 || len > buf.remaining() - crcLen) // subtraction: no Int overflow
         return Some(lastGood)
       val off = buf.position()
       if (hasCrc && !crcMatchesAt(segment, off, len))

@@ -106,8 +106,21 @@ final class LakeTable(val root: Path) {
     val json = renderSnapshot(snap)
     val tmp = snapshotsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
     Files.write(tmp, json.getBytes("UTF-8"))
+    // Claim the version with createLink (link(2)), NOT a rename: on POSIX,
+    // rename(2) — what Files.move(ATOMIC_MOVE) compiles to — silently
+    // REPLACES an existing target, so a lost version race would clobber
+    // the other writer's snapshot instead of throwing. link(2) is atomic
+    // AND fails with EEXIST, which is the exactly-once/optimistic-
+    // concurrency primitive both the idempotent re-commit and tryCommit
+    // rely on. Falls back to move only where hard links are unsupported
+    // (documented non-POSIX limitation, SURVEY §7.0).
     try {
-      Files.move(tmp, snapPath(snap.version), StandardCopyOption.ATOMIC_MOVE)
+      try Files.createLink(snapPath(snap.version), tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          Files.move(tmp, snapPath(snap.version), StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.deleteIfExists(tmp)
       snap
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>

@@ -228,6 +228,18 @@ class CodecSpec extends AnyFunSuite with PropHelpers {
     // damage in record 0: only the header survives — no useful prefix
     val first = seg.clone(); first(frames(0)._1) = (first(frames(0)._1) ^ 1).toByte
     assert(RecordCodec.truncationPoint(first) == Some(RecordCodec.SegmentHeaderLen))
+    // length prefix corrupted to Int.MaxValue: len + crcLen overflows Int —
+    // both walkers must report/truncate, never throw
+    val huge = seg.clone()
+    val lp = frames(29)._1 - 4
+    huge(lp) = 0x7f.toByte; huge(lp + 1) = 0xff.toByte
+    huge(lp + 2) = 0xff.toByte; huge(lp + 3) = 0xff.toByte
+    assert(RecordCodec.truncationPoint(huge) == Some(endOf(28)))
+    RecordCodec.verifySegment(huge) match {
+      case Left((at, msg)) =>
+        assert(at == lp.toLong && msg.contains("corrupt frame length"))
+      case Right(n) => fail(s"overflowing frame length passed with $n records")
+    }
   }
 
   test("format interop: v2 and v3 segments decode identically; offsets agree") {

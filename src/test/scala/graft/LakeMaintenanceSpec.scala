@@ -260,6 +260,26 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(got == want, "crash-orphaned MV dir leaked into the served view")
   }
 
+  test("commit: losing a version race throws and never clobbers the winner") {
+    // rename(2) silently replaces an existing target, so the version claim
+    // must be link(2)-based — this pins that a same-version commit from a
+    // different batch FAILS and the first writer's snapshot survives intact
+    val table = replay()
+    val base = table.currentSnapshot()
+    val a = base.copy(version = base.version + 1, batchId = "writer-a",
+      parentVersion = base.version)
+    val b = base.copy(version = base.version + 1, batchId = "writer-b",
+      parentVersion = base.version)
+    table.commit(a)
+    assert(table.tryCommit(b).isEmpty, "lost race must be reported, not absorbed")
+    intercept[IllegalArgumentException](table.commit(b))
+    assert(table.readSnapshot(a.version).batchId == "writer-a",
+      "loser's commit clobbered the winner's snapshot")
+    // idempotent re-commit of the SAME batch still succeeds
+    assert(table.commit(a).batchId == "writer-a")
+    assert(table.tryCommit(a).map(_.batchId).contains("writer-a"))
+  }
+
   test("changeDeltas across a pure compaction is empty (renames are not changes)") {
     val table = replay()
     val v0 = table.currentSnapshot().version
