@@ -38,6 +38,7 @@ object MainIngest {
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets] [maxFileRows]
         |  MainIngest stream <tableDir> <feedDir> [checkpointDir] [mviewDir]
         |  MainIngest compact <tableDir> [tombstoneHorizonIso] [minFilesPerBucket] [maxFileRows]
+        |  MainIngest rebucket <tableDir> <newBuckets> [maxFileRows]
         |  MainIngest expire  <tableDir> <keepLastSnapshots>
         |  MainIngest lookup  <tableDir> <url> [url...]
         |  MainIngest asof    <tableDir> <version>
@@ -168,6 +169,20 @@ object MainIngest {
       println(s"compacted $before -> ${snap.files.size} files at v${snap.version}" +
         buckets.map(bs => s" (${bs.size} long-tail buckets)").getOrElse("") +
         horizon.map(h => s" (tombstones before $h dropped)").getOrElse(""))
+      spark.stop()
+
+    // partition-spec evolution: grow (or shrink) the url-hash bucket count;
+    // each snapshot carries its own numBuckets, so readers/lookups/merges
+    // switch layouts from the manifest — no flag day
+    case "rebucket" :: tableDir :: newBuckets :: rest =>
+      val maxFileRows = rest.headOption.map(_.toLong).getOrElse(0L)
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      val before = table.currentSnapshot().numBuckets
+      val snap = CdcIngest.rebucket(spark, table, newBuckets.toInt, maxFileRows)
+      println(s"rebucketed $before -> ${snap.numBuckets} buckets " +
+        s"(${snap.files.size} files) at v${snap.version}")
       spark.stop()
 
     // snapshot retention (Iceberg expire_snapshots analog) — pure metadata

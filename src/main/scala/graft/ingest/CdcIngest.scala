@@ -967,6 +967,69 @@ object CdcIngest {
     sys.error("unreachable")
   }
 
+  /** Re-bucket the table to a new url-hash bucket count (Iceberg
+    * partition-spec evolution analog). At scale the bucket count must grow
+    * with the data — a fixed count eventually makes every bucket file an
+    * unsplittable multi-GB unit and every merge task a straggler — and
+    * because each snapshot carries its OWN `numBuckets`, readers, time
+    * travel, point lookups, and later merges all pick up the new layout
+    * from the manifest with no code-level flag day: `readAsOf` a
+    * pre-evolution version still plans with the old count, the current
+    * snapshot plans with the new one.
+    *
+    * One full rewrite (read every live+tombstone row, hash to the new
+    * layout, time-sorted within buckets like [[compact]]), committed
+    * through the optimistic claim. Unlike compaction there is NO partial
+    * rebase across a racing writer — bucket ids mean different things in
+    * the two layouts — so a lost race deletes the new files and aborts;
+    * the caller retries in a quiet window. `maxFileRows` bounds output
+    * file size exactly as at ingest. */
+  def rebucket(
+      spark: SparkSession,
+      table: LakeTable,
+      newBuckets: Int,
+      maxFileRows: Long = 0L): Snapshot = {
+    val snap = table.currentSnapshot()
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    require(newBuckets != snap.numBuckets,
+      s"table already has ${snap.numBuckets} buckets")
+    val physical = StructType(snap.schema.fields ++ Array(
+      StructField(LakeTable.SeqCol, LongType), StructField(LakeTable.DeletedCol, BooleanType)))
+    val all =
+      if (snap.files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physical)
+      else spark.read.schema(physical)
+        .parquet(snap.files.map(f => table.root.resolve(f.path).toString): _*)
+    val tmpDir = table.root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    val w = all
+      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(newBuckets))
+      .repartition(newBuckets, col("url"))
+      .sortWithinPartitions(col(LakeTable.BucketCol), col("warc_ts"), col("url"))
+      .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
+    (if (maxFileRows > 0) w.option("maxRecordsPerFile", maxFileRows) else w)
+      .parquet(tmpDir.toString)
+    val tag = "-rb" + java.util.UUID.randomUUID().toString.take(8)
+    val newFiles = moveDataFiles(spark, table, tmpDir, snap.version + 1, tag)
+    val out = Snapshot(
+      version = snap.version + 1, batchId = s"rebucket-v${snap.version}-b$newBuckets",
+      parentVersion = snap.version, watermarkSegment = snap.watermarkSegment,
+      schemaJson = snap.schemaJson, numBuckets = newBuckets,
+      files = newFiles, lineage = Seq.empty,
+      metrics = Map[String, Any](
+        "events" -> 0L, "upserts" -> 0L, "deletes" -> 0L,
+        "rebucketFrom" -> snap.numBuckets.toLong,
+        "rebucketTo" -> newBuckets.toLong))
+    table.tryCommit(out) match {
+      case Some(committed) => committed
+      case None =>
+        newFiles.foreach(f =>
+          java.nio.file.Files.deleteIfExists(table.root.resolve(f.path)))
+        throw new IllegalStateException(
+          "rebucket lost the commit race; retry in a quiet window " +
+            "(no partial rebase is possible across bucket layouts)")
+    }
+  }
+
   /** Driver-side header peek: (schema-version hint, file size). */
   private def segmentHint(
       path: String, conf: org.apache.hadoop.conf.Configuration): (Option[Int], Long) = {

@@ -260,6 +260,45 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(got == want, "crash-orphaned MV dir leaked into the served view")
   }
 
+  test("rebucket: layout evolves per snapshot; reads, lookups, time travel, ingest follow") {
+    val feed = tmpDir("rbfeed")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("rbtbl"), CdcIngest.PagesSchemaV1, 8)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    val vPre = table.currentSnapshot().version
+    def state() = table.read(spark).select("url", "warc_ts", "text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    val before = state()
+    val snap = CdcIngest.rebucket(spark, table, 16)
+    assert(snap.numBuckets == 16 && table.currentSnapshot().numBuckets == 16)
+    assert(state() == before, "rebucket changed logical content")
+    // every file's rows hash to its manifest bucket under the NEW layout
+    snap.files.foreach { f =>
+      val urls = spark.read.parquet(table.root.resolve(f.path).toString)
+        .select("url").collect().map(_.getString(0))
+      assert(urls.forall(u => LakeTable.bucketOf(u, 16) == f.bucket),
+        s"rows misplaced in bucket ${f.bucket}")
+    }
+    // point lookup plans with the new layout and still answers correctly
+    val expected = FeedGen.expectedState(FeedGen.events(spec))
+    val keys = expected.keys.take(3).toSeq
+    val got = table.lookup(spark, keys).select("url", "warc_ts", "text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    assert(got == keys.map(u => (u, expected(u).warcTs, expected(u).text)).toSet)
+    // time travel to the pre-rebucket snapshot is untouched (old layout)
+    val pre = table.readAsOf(spark, vPre).select("url", "warc_ts", "text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    assert(pre == before)
+    // further ingest merges correctly against the 16-bucket layout
+    val picks = expected.keys.take(4).toSeq
+    val extra = raceSegment(feed, 6, picks)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 16, segmentsPerBatch = 2))
+    val want = FeedGen.expectedState(FeedGen.events(spec).concat(extra.iterator))
+      .values.map(e => (e.url, e.warcTs, e.text)).toSet
+    assert(state() == want, "post-rebucket ingest diverged from the oracle")
+    assert(orphanFiles(table).isEmpty)
+  }
+
   test("commit: losing a version race throws and never clobbers the winner") {
     // rename(2) silently replaces an existing target, so the version claim
     // must be link(2)-based — this pins that a same-version commit from a
