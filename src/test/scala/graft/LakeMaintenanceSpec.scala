@@ -299,6 +299,28 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(orphanFiles(table).isEmpty)
   }
 
+  test("rebucket then expire reclaims the old layout's storage") {
+    // a rebucket doubles storage until retention lapses — expire must GC
+    // every old-layout file once no retained snapshot references it
+    val feed = tmpDir("refeed")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("retbl"), CdcIngest.PagesSchemaV1, 8)
+    CdcIngest.run(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 2))
+    val oldFiles = table.currentSnapshot().files.map(_.path).toSet
+    CdcIngest.rebucket(spark, table, 16)
+    val state = table.read(spark).select("url", "warc_ts", "text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    table.expireSnapshots(keepLast = 1)
+    oldFiles.foreach { f =>
+      assert(!Files.exists(table.root.resolve(f)),
+        s"old-layout file $f survived expiration")
+    }
+    assert(orphanFiles(table).isEmpty)
+    val after = table.read(spark).select("url", "warc_ts", "text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    assert(after == state, "expiration disturbed the retained snapshot")
+  }
+
   test("commit: losing a version race throws and never clobbers the winner") {
     // rename(2) silently replaces an existing target, so the version claim
     // must be link(2)-based — this pins that a same-version commit from a
