@@ -41,6 +41,7 @@ object MainIngest {
         |  MainIngest rebucket <tableDir> <newBuckets> [maxFileRows]
         |  MainIngest expire  <tableDir> <keepLastSnapshots>
         |  MainIngest lookup  <tableDir> <url> [url...]
+        |  MainIngest slice   <tableDir> <fromIso> <toIso>
         |  MainIngest asof    <tableDir> <version>
         |  MainIngest changes <tableDir> <fromVersion> <toVersion>
         |  MainIngest deltas  <tableDir> <fromVersion> <toVersion>
@@ -205,6 +206,28 @@ object MainIngest {
       println(s"planned ${planned.size} files in " +
         s"${planned.map(_.bucket).distinct.size} buckets for ${keys.size} keys")
       table.lookup(spark, keys).show(keys.size, 80)
+      spark.stop()
+
+    // zone-map time slice: live rows with warc_ts in [fromIso, toIso],
+    // file set planned from the manifest's per-file [tsMin, tsMax] stats —
+    // on a time-sorted-compacted table this opens the slice's files, not
+    // the table (the "last week's pages" read path at 100 TB)
+    case "slice" :: tableDir :: fromIso :: toIso :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      def micros(iso: String): Long = {
+        val i = java.time.Instant.parse(iso)
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
+      val (lo, hi) = (micros(fromIso), micros(toIso))
+      val snap = table.currentSnapshot()
+      val planned = table.filesInRange(snap, lo, hi)
+      println(s"planned ${planned.size} of ${snap.files.size} files for " +
+        s"[$fromIso, $toIso]")
+      val df = table.readRange(spark, lo, hi)
+      println(s"${df.count()} live rows in slice")
+      df.orderBy("warc_ts").show(10, 60)
       spark.stop()
 
     // time travel: read the table as of a committed snapshot version,

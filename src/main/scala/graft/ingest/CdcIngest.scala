@@ -750,10 +750,12 @@ object CdcIngest {
       val w = merged
         .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(numBuckets))
         .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
-      (if (config.maxFileRows > 0)
-         w.option("maxRecordsPerFile", config.maxFileRows)
-       else w)
-        .parquet(tmpDir.toString)
+      withMicrosTimestamps(spark) {
+        (if (config.maxFileRows > 0)
+           w.option("maxRecordsPerFile", config.maxFileRows)
+         else w)
+          .parquet(tmpDir.toString)
+      }
       mark("merge+write")
       val files = moveDataFiles(spark, table, tmpDir, newVersion)
       mark("move+footers")
@@ -909,8 +911,10 @@ object CdcIngest {
       // ordering, so FileFormatWriter adds NO extra sort of its own
       .sortWithinPartitions(col(LakeTable.BucketCol), col("warc_ts"), col("url"))
       .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
-    (if (maxFileRows > 0) w.option("maxRecordsPerFile", maxFileRows) else w)
-      .parquet(tmpDir.toString)
+    withMicrosTimestamps(spark) {
+      (if (maxFileRows > 0) w.option("maxRecordsPerFile", maxFileRows) else w)
+        .parquet(tmpDir.toString)
+    }
     // unique name tag: a racing ingest commits the same version number
     // with un-tagged names, so tagged compaction files can never collide
     val tag = "-c" + java.util.UUID.randomUUID().toString.take(8)
@@ -1006,8 +1010,10 @@ object CdcIngest {
       .repartition(newBuckets, col("url"))
       .sortWithinPartitions(col(LakeTable.BucketCol), col("warc_ts"), col("url"))
       .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
-    (if (maxFileRows > 0) w.option("maxRecordsPerFile", maxFileRows) else w)
-      .parquet(tmpDir.toString)
+    withMicrosTimestamps(spark) {
+      (if (maxFileRows > 0) w.option("maxRecordsPerFile", maxFileRows) else w)
+        .parquet(tmpDir.toString)
+    }
     val tag = "-rb" + java.util.UUID.randomUUID().toString.take(8)
     val newFiles = moveDataFiles(spark, table, tmpDir, snap.version + 1, tag)
     val out = Snapshot(
@@ -1097,8 +1103,9 @@ object CdcIngest {
         val name = f"s$version%08d$nameTag%s-b$bucket%05d-$i%03d.parquet"
         val dest = table.dataDir.resolve(name)
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        val rows = parquetRowCount(dest, conf)
-        DataFileEntry(table.root.relativize(dest).toString, bucket, rows, Files.size(dest))
+        val (rows, tsRange) = parquetFooterInfo(dest, conf)
+        DataFileEntry(table.root.relativize(dest).toString, bucket, rows, Files.size(dest),
+          tsRange.map(_._1), tsRange.map(_._2))
       }
     }}
     val entries = Await.result(Future.sequence(entryFutures), Duration.Inf).flatten
@@ -1106,11 +1113,55 @@ object CdcIngest {
     entries
   }
 
-  def parquetRowCount(p: Path, conf: org.apache.hadoop.conf.Configuration): Long = {
+  def parquetRowCount(p: Path, conf: org.apache.hadoop.conf.Configuration): Long =
+    parquetFooterInfo(p, conf)._1
+
+  /** One footer open → (row count, warc_ts zone map). The zone map is the
+    * min/max of `warc_ts` over non-null values across all row groups,
+    * usable only when the column is written as INT64 TIMESTAMP_MICROS
+    * (see [[withMicrosTimestamps]] — Spark's default INT96 carries no
+    * statistics). Any row group without a statistics object degrades the
+    * whole file to `None` (unbounded — always scanned), never to a wrong
+    * bound; all-null row groups simply contribute nothing. */
+  def parquetFooterInfo(p: Path, conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Option[(Long, Long)]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try rd.getRecordCount finally rd.close()
+    try {
+      val rows = rd.getRecordCount
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var usable = true
+      rd.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == "warc_ts") match {
+          case Some(cc)
+              if cc.getPrimitiveType.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
+            val st = cc.getStatistics
+            if (st == null) usable = false
+            else if (st.hasNonNullValue) {
+              mn = math.min(mn, st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+              mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            } // all-null row group: contributes nothing, stays usable
+          case _ => usable = false // absent column or INT96: no zone map
+        }
+      }
+      (rows, if (usable && mn <= mx) Some((mn, mx)) else None)
+    } finally rd.close()
+  }
+
+  /** Run `body` (which must EXECUTE its write actions, not just plan them)
+    * with parquet timestamps written as INT64 TIMESTAMP_MICROS instead of
+    * Spark's default INT96: INT96 is deprecated, statistics-less (so no
+    * zone maps and no parquet row-group pruning on `warc_ts`), and larger
+    * on disk. Session-scoped set/restore — the engine's write paths are
+    * the only callers and run one write at a time per session. */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally spark.conf.set(key, prev)
   }
 
   private def deleteRecursively(p: Path): Unit =

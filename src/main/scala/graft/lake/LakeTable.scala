@@ -15,7 +15,16 @@ import org.apache.spark.sql.types._
   * Lineage fields (per north rule): segment offset range applied by the
   * batch, per-bucket row counts, commit snapshot id, and batch metrics.
   */
-final case class DataFileEntry(path: String, bucket: Int, rows: Long, sizeBytes: Long = 0L)
+/** One data file in a snapshot manifest. `tsMinMicros`/`tsMaxMicros` are
+  * file-level zone-map statistics for `warc_ts` (micros since epoch,
+  * min/max over non-null values), harvested from the parquet footer during
+  * the commit-time footer read — no extra Spark job. `None` means
+  * "unbounded" (legacy manifests, files written before the stats landed,
+  * or footers without usable statistics): such files are always kept by
+  * [[LakeTable.filesInRange]], so the feature degrades to a full plan,
+  * never a wrong one. */
+final case class DataFileEntry(path: String, bucket: Int, rows: Long, sizeBytes: Long = 0L,
+    tsMinMicros: Option[Long] = None, tsMaxMicros: Option[Long] = None)
 
 final case class Snapshot(
     version: Long,
@@ -74,7 +83,9 @@ final class LakeTable(val root: Path) {
       numBuckets = node.get("numBuckets").asInt(),
       files = node.get("files").elements().asScala.map { f =>
         DataFileEntry(f.get("path").asText(), f.get("bucket").asInt(), f.get("rows").asLong(),
-          Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(0L))
+          Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(0L),
+          Option(f.get("tsMinMicros")).map(_.asLong()),
+          Option(f.get("tsMaxMicros")).map(_.asLong()))
       }.toSeq,
       lineage = node.get("lineage").elements().asScala.map(jsonToMap).toSeq,
       metrics = jsonToMap(node.get("metrics")))
@@ -334,6 +345,44 @@ final class LakeTable(val root: Path) {
     snap.files.filter(f => bs.contains(f.bucket))
   }
 
+  /** The file set a `warc_ts ∈ [loMicros, hiMicros]` scan must read,
+    * planned from the manifest's per-file zone maps (Iceberg
+    * `planFiles`-with-stats analog): a file is skipped only when its
+    * recorded [tsMin, tsMax] provably cannot intersect the range; files
+    * without stats are always kept. Pure manifest arithmetic — no Spark
+    * job, no footer opens. */
+  def filesInRange(snap: Snapshot, loMicros: Long, hiMicros: Long): Seq[DataFileEntry] =
+    snap.files.filter { f =>
+      (f.tsMinMicros, f.tsMaxMicros) match {
+        case (Some(mn), Some(mx)) => mx >= loMicros && mn <= hiMicros
+        case _                    => true // unbounded: never skip
+      }
+    }
+
+  /** Time-slice scan: current live rows whose `warc_ts` lies in
+    * `[loMicros, hiMicros]` (inclusive, micros since epoch), reading ONLY
+    * the files [[filesInRange]] plans. On a time-sorted-compacted table
+    * (see `CdcIngest.compact`) the per-bucket files partition the ts range,
+    * so at 100 TB "last week's pages" opens last week's files instead of
+    * the table; the residual timestamp predicate is pushed to the parquet
+    * scan for row-group pruning inside the kept files. NULL `warc_ts`
+    * never matches (SQL predicate semantics). */
+  def readRange(spark: SparkSession, loMicros: Long, hiMicros: Long): DataFrame = {
+    val snap = currentSnapshot()
+    val cols = snap.schema.fieldNames.map(col).toSeq
+    def inst(us: Long) = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+    val sel = filesInRange(snap, loMicros, hiMicros)
+    val schema = physicalSchema(snap)
+    val raw =
+      if (sel.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(sel.map(f => root.resolve(f.path).toString): _*)
+    raw.filter(!col(DeletedCol) &&
+        col("warc_ts") >= lit(inst(loMicros)) && col("warc_ts") <= lit(inst(hiMicros)))
+      .select(cols: _*)
+  }
+
   /** Expire old snapshots (Iceberg `expire_snapshots` analog): keep the
     * newest `keepLast` versions, delete the older manifests, then delete
     * data files referenced ONLY by expired snapshots. A file shared with any
@@ -424,6 +473,8 @@ object LakeTable {
       val fn = files.addObject()
       fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
       fn.put("sizeBytes", f.sizeBytes)
+      f.tsMinMicros.foreach(fn.put("tsMinMicros", _))
+      f.tsMaxMicros.foreach(fn.put("tsMaxMicros", _))
     }
     val lin = node.putArray("lineage")
     s.lineage.foreach { m =>

@@ -491,6 +491,24 @@ object SystemQueries {
           md5(col("text").cast("binary")).as("text_fp"))
     }),
 
+    // manifest-planned time-slice scan (zone maps): compact first so each
+    // bucket's files are warc_ts-sorted and split (maxFileRows), then read
+    // a fixed 20-minute slice through readRange — the scan plans its file
+    // set from the manifest's per-file [tsMin, tsMax] stats (pruning
+    // asserted by LakeMaintenanceSpec; at 100 TB "last week's pages" opens
+    // last week's files, not the table). Hash-checked vs DuckDB's LWW fold
+    // filtered to the same range. Catches wrong footer stats (a file
+    // skipped that held an in-range winner loses rows), residual-filter
+    // boundary errors, and tombstone leakage into the slice.
+    "cdc_time_slice" -> ((s, dir) => {
+      writeTruth(s)
+      val table = replayTable(s)
+      CdcIngest.compact(s, table, maxFileRows = 8)
+      table.readRange(s, SliceLoMicros, SliceHiMicros)
+        .select(col("url"), col("warc_ts"), col("lang"),
+          md5(col("text").cast("binary")).as("text_fp"))
+    }),
+
     // incremental changelog (Iceberg table_changes): per-key visible-state
     // diff between the first and last committed snapshots, classified
     // I/U/D, reading ONLY the buckets whose file sets changed — hash-checked
@@ -680,6 +698,14 @@ object SystemQueries {
     * this cut. */
   private val V1CutSeq: Long = CdcSpec.eventsPerSegment.toLong * 2
 
+  /** Fixed 20-minute slice for the zone-map scan query: feed timestamps
+    * run 1 s per event from [[FeedGen.BaseEpochMillis]] (2020-01-01T00:00Z),
+    * so [00:20, 00:40) covers events k ∈ [1200, 2400) plus any late-slice
+    * outliers LWW demoted. Inclusive-micros bounds; the oracle states the
+    * same range as half-open timestamp literals. */
+  private val SliceLoMicros: Long = (FeedGen.BaseEpochMillis + 1200L * 1000L) * 1000L
+  private val SliceHiMicros: Long = (FeedGen.BaseEpochMillis + 2400L * 1000L) * 1000L - 1L
+
   /** Fixed key set for the point-lookup query — deterministic urls from the
     * feed's own universe (a mix of hot-domain, cold, and high-index keys;
     * some may be deleted or never inserted at this spec, which the lookup
@@ -802,6 +828,18 @@ object SystemQueries {
          |  FROM read_parquet('$TruthGlob') WHERE seq < $V1CutSeq)
          |SELECT url, warc_ts, lang, md5(text) AS text_fp
          |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // time slice: the full LWW fold filtered to the fixed 20-minute range —
+    // the engine's manifest-planned readRange must see exactly the winners
+    // whose warc_ts lands in the slice, no matter which files it pruned
+    "cdc_time_slice" ->
+      s"""WITH w AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+         |  FROM read_parquet('$TruthGlob'))
+         |SELECT url, warc_ts, lang, md5(text) AS text_fp
+         |FROM w WHERE rn = 1 AND op <> 'D'
+         |  AND warc_ts >= TIMESTAMP '2020-01-01 00:20:00'
+         |  AND warc_ts < TIMESTAMP '2020-01-01 00:40:00'""".stripMargin,
 
     // changelog: DuckDB diffs its own prefix fold (seq < V1CutSeq) against
     // the full fold — I = not-visible-before/live-after, U = live in both

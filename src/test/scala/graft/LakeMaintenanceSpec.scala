@@ -128,6 +128,51 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(got == expected.values.map(e => (e.url, e.warcTs, e.text)).toSet)
   }
 
+  test("zone maps: manifest ts stats are honest; time-slice scan prunes files and matches a full-scan filter") {
+    val table = replay()
+    // stats recorded at ingest time for every data file, and honest: the
+    // recorded bounds equal the file's actual non-null min/max
+    val snap0 = table.currentSnapshot()
+    assert(snap0.files.nonEmpty)
+    assert(snap0.files.forall(f => f.tsMinMicros.isDefined && f.tsMaxMicros.isDefined),
+      "ingest-written files must carry warc_ts zone maps")
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    snap0.files.take(3).foreach { f =>
+      val ts = spark.read.parquet(table.root.resolve(f.path).toString)
+        .select("warc_ts").where(col("warc_ts").isNotNull)
+        .collect().map(r => micros(r.getTimestamp(0)))
+      assert(ts.min == f.tsMinMicros.get && ts.max == f.tsMaxMicros.get,
+        s"${f.path}: recorded [${f.tsMinMicros.get}, ${f.tsMaxMicros.get}] " +
+          s"!= actual [${ts.min}, ${ts.max}]")
+    }
+    // ts-sorted compaction with small files → per-bucket files partition the
+    // ts range → a narrow slice prunes files from the manifest alone
+    CdcIngest.compact(spark, table, maxFileRows = 8)
+    val snap = table.currentSnapshot()
+    assert(snap.files.size > snap.numBuckets, "expected multi-file buckets")
+    val lo = (FeedGen.BaseEpochMillis + 1000L * 1000L) * 1000L
+    val hi = (FeedGen.BaseEpochMillis + 2000L * 1000L) * 1000L
+    val planned = table.filesInRange(snap, lo, hi)
+    assert(planned.size < snap.files.size,
+      s"slice planned ${planned.size} of ${snap.files.size} files — no pruning")
+    // correctness: the pruned scan equals a full scan with the same filter
+    def inst(us: Long) = java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1), r.getString(2))
+    val got = table.readRange(spark, lo, hi)
+      .select("url", "warc_ts", "text").collect().map(key).toSet
+    val want = table.read(spark)
+      .filter(col("warc_ts") >= lit(inst(lo)) && col("warc_ts") <= lit(inst(hi)))
+      .select("url", "warc_ts", "text").collect().map(key).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "slice chosen to contain winners at this seed")
+    // legacy manifests (no stats) degrade to a full plan, never a wrong one
+    val legacy = snap.copy(files =
+      snap.files.map(_.copy(tsMinMicros = None, tsMaxMicros = None)))
+    assert(table.filesInRange(legacy, lo, hi).size == snap.files.size)
+  }
+
   /** Far-future update events for the given urls (guaranteed LWW winners),
     * framed as the feed's next contiguous segment. */
   private def raceSegment(feed: String, segId: Int, urls: Seq[String]): Seq[ChangeEvent] = {
