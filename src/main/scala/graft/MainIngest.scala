@@ -35,7 +35,7 @@ object MainIngest {
       """usage:
         |  MainIngest gen    <feedDir> <numEvents> <numUrls> [eventsPerSegment] [evolveAtEvent]
         |  MainIngest init   <tableDir> [numBuckets]
-        |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets] [maxFileRows]
+        |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets] [maxFileRows] [--mor]
         |  MainIngest stream <tableDir> <feedDir> [checkpointDir] [mviewDir]
         |  MainIngest compact <tableDir> [tombstoneHorizonIso] [minFilesPerBucket] [maxFileRows]
         |  MainIngest rebucket <tableDir> <newBuckets> [maxFileRows]
@@ -92,7 +92,9 @@ object MainIngest {
       LakeTable.create(tableDir, CdcIngest.PagesSchemaV1, buckets)
       println(s"created table at $tableDir with $buckets buckets")
 
-    case "ingest" :: tableDir :: feedDir :: rest =>
+    case "ingest" :: tableDir :: feedDir :: rest0 =>
+      val mor = rest0.contains("--mor")
+      val rest = rest0.filterNot(_ == "--mor")
       val perBatch = rest.headOption.map(_.toInt).getOrElse(4)
       val salt = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
       val maxFileRows = rest.drop(2).headOption.map(_.toLong).getOrElse(0L)
@@ -103,7 +105,8 @@ object MainIngest {
       val t0 = System.nanoTime()
       val snaps = CdcIngest.run(spark, table, feedDir,
         IngestConfig(numBuckets = before.numBuckets, saltBuckets = salt,
-          segmentsPerBatch = perBatch, maxFileRows = maxFileRows))
+          segmentsPerBatch = perBatch, maxFileRows = maxFileRows,
+          mergeOnRead = mor))
       val secs = (System.nanoTime() - t0) / 1e9
       if (snaps.isEmpty)
         println(s"nothing to do: table already at segment ${before.watermarkSegment}")

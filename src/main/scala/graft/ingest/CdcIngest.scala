@@ -54,7 +54,18 @@ object CdcIngest {
       // maxRecordsPerFile rolls each bucket into bounded files; the
       // resulting multi-file buckets are what the `compact ... minFiles`
       // small-file maintenance path re-clusters (time-sorted) later.
-      maxFileRows: Long = 0L)
+      maxFileRows: Long = 0L,
+      // Merge-on-read trickle commits (Iceberg v2 equality-delete analog):
+      // instead of rewriting every touched bucket's files, a trickle batch
+      // writes ONLY its changed rows (new data files) plus their keys as
+      // equality-delete files; readers anti-join the (small, broadcast)
+      // delete keys against older data files, and compaction folds the
+      // deltas back to pure base. At 100 TB this turns a 1000-event batch
+      // touching 500 buckets from a ~500-bucket rewrite into ~1000 rows of
+      // writes — the write-amplification lever; the read-time cost is one
+      // broadcast anti-join until the next compaction. Bulk batches (and
+      // the first load into an empty table) still take the full-merge path.
+      mergeOnRead: Boolean = false)
 
   /** User-facing v1 schema of the pages lake table (BASELINE.json:input_hint). */
   val PagesSchemaV1: StructType = StructType(Seq(
@@ -719,7 +730,10 @@ object CdcIngest {
     // with observe() stats. A trickle batch keeps the pruned two-job path.
     mark("segment-hints")
     val tableBytes = snap.files.map(_.sizeBytes).sum
-    val bulk = hintSv.nonEmpty &&
+    // merge-on-read only makes sense against an existing base: the first
+    // load into an empty table is a plain full write either way
+    val mor = config.mergeOnRead && snap.files.nonEmpty
+    val bulk = !mor && hintSv.nonEmpty &&
       (snap.files.isEmpty || tableBytes == 0L || batchBytes * 4L >= tableBytes)
 
     val raw = decodeRaw(spark, segments.map(_._2))
@@ -736,11 +750,9 @@ object CdcIngest {
       StructType(schema.fields ++ Array(
         StructField(LakeTable.SeqCol, LongType), StructField(LakeTable.DeletedCol, BooleanType)))
 
-    def readTarget(files: Seq[DataFileEntry], physical: StructType): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physical)
-      else spark.read.schema(physical)
-        .parquet(files.map(f => table.root.resolve(f.path).toString): _*)
+    def readTarget(files: Seq[DataFileEntry], dels: Seq[graft.lake.DeleteFileEntry],
+        physical: StructType): DataFrame =
+      table.readFiles(spark, physical, files, dels)
 
     /** write bucket-partitioned files; relies on merge inputs being
       * repartition(numBuckets, url)-aligned so `_bucket == partition id`
@@ -764,7 +776,7 @@ object CdcIngest {
 
     val newVersion = snap.version + 1
 
-    val (newSchema, newFiles, carried, lineageRows, statsMap) =
+    val (newSchema, newFiles, carried, carriedDels, newDels, lineageRows, statsMap) =
       if (bulk) {
         // ---- bulk path: single job, full-table merge, observe() stats ----
         val schema = evolvedSchema(hintSv.get)
@@ -781,7 +793,7 @@ object CdcIngest {
             min(col("seq")).as("minSeq"),
             max(col("seq")).as("maxSeq"))
           .drop("_n")
-        val tgt = readTarget(snap.files, physicalOf(schema))
+        val tgt = readTarget(snap.files, snap.deleteFiles, physicalOf(schema))
           .repartition(numBuckets, col("url"))
         val files = writeMerged(mergeLww(src, tgt, dataCols), newVersion)
         val m = obs.get
@@ -800,7 +812,10 @@ object CdcIngest {
           "maxSeq" -> mxSeq,
           "touchedBuckets" -> files.map(_.bucket).distinct.size.toLong,
           "strategy" -> "bulk")
-        (schema, files, Seq.empty[DataFileEntry], lineage, stats)
+        // full-table merge folds every stacked MoR delta: no delete files survive
+        (schema, files, Seq.empty[DataFileEntry],
+          Seq.empty[graft.lake.DeleteFileEntry], Seq.empty[graft.lake.DeleteFileEntry],
+          lineage, stats)
       } else {
         // ---- pruned path: pre-pass finds touched buckets, merge reads
         // only their files; untouched buckets carry over by reference ----
@@ -820,12 +835,38 @@ object CdcIngest {
           val maxSv = if (stats.isEmpty) 1 else stats.map(_.getAs[Int]("maxSv")).max
           val schema = evolvedSchema(maxSv)
           val dataCols = schema.fieldNames.toSeq
+          val touchedDels = snap.deleteFiles.filter(d => touched.contains(d.bucket))
           val target = readTarget(
-            snap.files.filter(f => touched.contains(f.bucket)), physicalOf(schema))
+            snap.files.filter(f => touched.contains(f.bucket)), touchedDels,
+            physicalOf(schema))
             .repartition(numBuckets, col("url"))
           val src = winners.drop("_n", LakeTable.BucketCol)
-          val files = writeMerged(mergeLww(src, target, dataCols), newVersion)
-          val carriedFiles = snap.files.filterNot(f => touched.contains(f.bucket))
+          val (files, carriedFiles, carriedDels2, newDels2, strategy) =
+            if (mor) {
+              // ---- merge-on-read: write ONLY the rows the batch changed,
+              // plus their keys as equality-delete files; every existing
+              // file (data and delete) carries over by reference ----
+              val changed = morChangedRows(src, target, dataCols)
+                .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(numBuckets))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              try {
+                val dataFiles = writeMerged(changed, newVersion)
+                val delTmp = table.root.resolve(s".tmp-del-${java.util.UUID.randomUUID()}")
+                changed.select(col("url"), col(LakeTable.BucketCol))
+                  .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
+                  .parquet(delTmp.toString)
+                val delFiles = moveDataFiles(spark, table, delTmp, newVersion, "-del")
+                  .map(f => graft.lake.DeleteFileEntry(
+                    f.path, f.bucket, f.rows, f.sizeBytes, newVersion))
+                (dataFiles, snap.files, snap.deleteFiles, delFiles, "mor")
+              } finally changed.unpersist()
+            } else {
+              val fs = writeMerged(mergeLww(src, target, dataCols), newVersion)
+              // the rewrite folded the touched buckets' deltas into base
+              (fs, snap.files.filterNot(f => touched.contains(f.bucket)),
+                snap.deleteFiles.filterNot(d => touched.contains(d.bucket)),
+                Seq.empty[graft.lake.DeleteFileEntry], "pruned")
+            }
           val lineage = stats.toSeq.map { r =>
             Map[String, Any](
               "bucket" -> r.getAs[Int](LakeTable.BucketCol).toLong,
@@ -843,8 +884,8 @@ object CdcIngest {
               stats.map(_.getAs[Long]("deletes")).sum),
             "deletes" -> stats.map(_.getAs[Long]("deletes")).sum,
             "touchedBuckets" -> touched.size.toLong,
-            "strategy" -> "pruned")
-          (schema, files, carriedFiles, lineage, statsMap)
+            "strategy" -> strategy)
+          (schema, files, carriedFiles, carriedDels2, newDels2, lineage, statsMap)
         } finally winners.unpersist()
       }
 
@@ -854,7 +895,8 @@ object CdcIngest {
       version = newVersion, batchId = batchId, parentVersion = snap.version,
       watermarkSegment = segTo, schemaJson = newSchema.json,
       numBuckets = numBuckets, files = carried ++ newFiles,
-      lineage = lineageRows, metrics = metrics))
+      lineage = lineageRows, metrics = metrics,
+      deleteFiles = carriedDels ++ newDels))
   }
 
   /** Compact the table: rewrite every bucket's files into one file per
@@ -894,11 +936,11 @@ object CdcIngest {
     val srcFiles = snap.files.filter(f => targetBuckets(f.bucket))
     val physical = StructType(snap.schema.fields ++ Array(
       StructField(LakeTable.SeqCol, LongType), StructField(LakeTable.DeletedCol, BooleanType)))
-    val all =
-      if (srcFiles.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physical)
-      else spark.read.schema(physical)
-        .parquet(srcFiles.map(f => table.root.resolve(f.path).toString): _*)
+    // delete-aware read: compaction FOLDS stacked merge-on-read deltas —
+    // the rewritten buckets come out as pure base and their equality-delete
+    // files drop out of the new snapshot below
+    val all = table.readFiles(spark, physical, srcFiles,
+      snap.deleteFiles.filter(d => targetBuckets(d.bucket)))
     val kept = tombstoneBefore match {
       case Some(h) => all.filter(!col(LakeTable.DeletedCol) || col("warc_ts") >= lit(h))
       case None    => all
@@ -954,7 +996,10 @@ object CdcIngest {
           "events" -> 0L, "upserts" -> 0L, "deletes" -> 0L,
           "compactedFrom" -> srcFiles.size.toLong,
           "compactedTo" -> keptNew.size.toLong,
-          "abandonedBuckets" -> (targetBuckets.size - keep.size).toLong))
+          "abandonedBuckets" -> (targetBuckets.size - keep.size).toLong),
+        // compacted buckets' MoR deltas are folded into the rewrite: their
+        // delete files leave the manifest (abandoned buckets keep theirs)
+        deleteFiles = cur.deleteFiles.filterNot(d => keep(d.bucket)))
       table.tryCommit(out) match {
         case Some(committed) =>
           drop(newFiles.filterNot(f => keep(f.bucket)))
@@ -999,11 +1044,9 @@ object CdcIngest {
       s"table already has ${snap.numBuckets} buckets")
     val physical = StructType(snap.schema.fields ++ Array(
       StructField(LakeTable.SeqCol, LongType), StructField(LakeTable.DeletedCol, BooleanType)))
-    val all =
-      if (snap.files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physical)
-      else spark.read.schema(physical)
-        .parquet(snap.files.map(f => table.root.resolve(f.path).toString): _*)
+    // delete-aware read: the full rewrite folds any stacked MoR deltas, so
+    // the new layout starts with pure base files and no delete files
+    val all = table.readFiles(spark, physical, snap.files, snap.deleteFiles)
     val tmpDir = table.root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     val w = all
       .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(newBuckets))
@@ -1076,6 +1119,35 @@ object CdcIngest {
     joined.select(outCols: _*)
   }
 
+  /** The merge-on-read twin of [[mergeLww]]: ONLY the rows the batch
+    * changes, with the identical win predicate — a source row survives iff
+    * it is strictly newer by (warc_ts, seq) than the key's current visible
+    * row (or the key is new). Losing source rows and unchanged target rows
+    * produce nothing, which is exactly the write-amplification win: the
+    * output is bounded by the batch, never by the touched buckets' size.
+    * A winning delete becomes a tombstone row (payload nulls, warc_ts
+    * kept), preserving the cross-batch late-loser semantics of the
+    * rewrite path verbatim. */
+  private[ingest] def morChangedRows(source: DataFrame, target: DataFrame,
+      dataCols: Seq[String]): DataFrame = {
+    val s = source.alias("s")
+    val t = target.alias("t")
+    val joined = s.join(t, col("s.url") === col("t.url"), "left_outer")
+    val tgtPresent = col(s"t.${LakeTable.SeqCol}").isNotNull
+    val srcWins = !tgtPresent ||
+      struct(col("s.warc_ts"), col("s.seq")) >
+        struct(col("t.warc_ts"), col(s"t.${LakeTable.SeqCol}"))
+    val isDel = col("s.op") === lit(ChangeEvent.OpDelete)
+    joined.filter(srcWins).select(
+      col("s.url").as("url") +:
+        dataCols.filterNot(_ == "url").map { c =>
+          (if (c == "warc_ts") col("s.warc_ts")
+           else when(isDel, lit(null)).otherwise(col(s"s.$c"))).as(c)
+        } :+
+        col("s.seq").as(LakeTable.SeqCol) :+
+        isDel.as(LakeTable.DeletedCol): _*)
+  }
+
   /** Move spark's partitioned output into the table's data dir under
     * version-scoped names; row counts come from parquet footers (metadata
     * only — no extra Spark job). `nameTag` must be non-empty for any
@@ -1105,7 +1177,7 @@ object CdcIngest {
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
         val (rows, tsRange) = parquetFooterInfo(dest, conf)
         DataFileEntry(table.root.relativize(dest).toString, bucket, rows, Files.size(dest),
-          tsRange.map(_._1), tsRange.map(_._2))
+          tsRange.map(_._1), tsRange.map(_._2), addedVersion = version)
       }
     }}
     val entries = Await.result(Future.sequence(entryFutures), Duration.Inf).flatten

@@ -24,7 +24,18 @@ import org.apache.spark.sql.types._
   * [[LakeTable.filesInRange]], so the feature degrades to a full plan,
   * never a wrong one. */
 final case class DataFileEntry(path: String, bucket: Int, rows: Long, sizeBytes: Long = 0L,
-    tsMinMicros: Option[Long] = None, tsMaxMicros: Option[Long] = None)
+    tsMinMicros: Option[Long] = None, tsMaxMicros: Option[Long] = None,
+    addedVersion: Long = 0L)
+
+/** An equality-delete file (Iceberg v2 merge-on-read analog): a parquet
+  * file of `url` keys written by a MoR trickle commit. At read time it
+  * removes matching keys from every data file with a STRICTLY OLDER
+  * `addedVersion` — the same commit's own data file (equal version) is
+  * exempt, so a MoR commit's new winners survive their own delete keys.
+  * Legacy data files parse with addedVersion 0 and are therefore subject
+  * to every delete file, which is correct: they predate all MoR commits. */
+final case class DeleteFileEntry(path: String, bucket: Int, rows: Long,
+    sizeBytes: Long, addedVersion: Long)
 
 final case class Snapshot(
     version: Long,
@@ -35,7 +46,8 @@ final case class Snapshot(
     numBuckets: Int,
     files: Seq[DataFileEntry],
     lineage: Seq[Map[String, Any]],
-    metrics: Map[String, Any]) {
+    metrics: Map[String, Any],
+    deleteFiles: Seq[DeleteFileEntry] = Seq.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
@@ -85,10 +97,16 @@ final class LakeTable(val root: Path) {
         DataFileEntry(f.get("path").asText(), f.get("bucket").asInt(), f.get("rows").asLong(),
           Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(0L),
           Option(f.get("tsMinMicros")).map(_.asLong()),
-          Option(f.get("tsMaxMicros")).map(_.asLong()))
+          Option(f.get("tsMaxMicros")).map(_.asLong()),
+          Option(f.get("addedVersion")).map(_.asLong()).getOrElse(0L))
       }.toSeq,
       lineage = node.get("lineage").elements().asScala.map(jsonToMap).toSeq,
-      metrics = jsonToMap(node.get("metrics")))
+      metrics = jsonToMap(node.get("metrics")),
+      deleteFiles = Option(node.get("deleteFiles")).toSeq.flatMap(_.elements().asScala.map { f =>
+        DeleteFileEntry(f.get("path").asText(), f.get("bucket").asInt(),
+          f.get("rows").asLong(), f.get("sizeBytes").asLong(),
+          f.get("addedVersion").asLong())
+      }))
   }
 
   private def jsonToMap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Any] =
@@ -162,15 +180,51 @@ final class LakeTable(val root: Path) {
 
   /** Read raw rows (incl. tombstones + system cols) of the given buckets;
     * `buckets = None` reads everything. Missing evolved columns in old
-    * files are null-filled by the explicit read schema. */
+    * files are null-filled by the explicit read schema. Merge-on-read
+    * delete files are applied (see [[readFiles]]), so every reader built
+    * on this — [[read]], [[readAsOf]], [[lookup]], [[changesBetween]],
+    * [[changeDeltas]] — sees one visible row per key regardless of how
+    * many MoR deltas are stacked. */
   def readRaw(spark: SparkSession, snap: Snapshot, buckets: Option[Set[Int]] = None): DataFrame = {
-    val sel = buckets match {
-      case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
-      case None     => snap.files
+    val (sel, dels) = buckets match {
+      case Some(bs) => (snap.files.filter(f => bs.contains(f.bucket)),
+        snap.deleteFiles.filter(d => bs.contains(d.bucket)))
+      case None => (snap.files, snap.deleteFiles)
     }
-    val schema = physicalSchema(snap)
-    if (sel.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(sel.map(f => root.resolve(f.path).toString): _*)
+    readFiles(spark, physicalSchema(snap), sel, dels)
+  }
+
+  /** Read an explicit data-file selection through `schema`, applying
+    * equality-delete files: a delete file at `addedVersion` dv removes its
+    * keys from every data file with `addedVersion < dv` (never from its
+    * own commit's data file). Between compactions only a handful of
+    * distinct addedVersions exist, so the union below has few legs; the
+    * delete side is trickle-sized and broadcast (under [[BroadcastDeleteRows]]
+    * keys) so the data side stays a plain scan — no shuffle is added to
+    * any read path. Compaction folds the deltas and clears the delete
+    * files, which is the maintenance lever that bounds this stack. */
+  def readFiles(spark: SparkSession, schema: StructType,
+      sel: Seq[DataFileEntry], dels: Seq[DeleteFileEntry]): DataFrame = {
+    if (sel.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val selBuckets = sel.map(_.bucket).toSet
+    val minAv = sel.map(_.addedVersion).min
+    val applicable = dels.filter(d => selBuckets.contains(d.bucket) && d.addedVersion > minAv)
+    if (applicable.isEmpty)
+      return spark.read.schema(schema).parquet(sel.map(f => root.resolve(f.path).toString): _*)
+    val data = sel.groupBy(_.addedVersion).toSeq.map { case (av, fs) =>
+      spark.read.schema(schema).parquet(fs.map(f => root.resolve(f.path).toString): _*)
+        .withColumn("_av", lit(av))
+    }.reduce(_ unionByName _)
+    val delDf = applicable.groupBy(_.addedVersion).toSeq.map { case (dv, fs) =>
+      spark.read.schema(LakeTable.DeleteFileSchema)
+        .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+        .select(col("url").as("_durl")).withColumn("_dv", lit(dv))
+    }.reduce(_ unionByName _)
+    val small = applicable.map(_.rows).sum <= LakeTable.BroadcastDeleteRows
+    data.join(if (small) broadcast(delDf) else delDf,
+        data("url") === col("_durl") && col("_dv") > col("_av"), "left_anti")
+      .drop("_av")
   }
 
   /** Live rows, user schema only (tombstones and system columns dropped). */
@@ -200,8 +254,9 @@ final class LakeTable(val root: Path) {
     * changed; the diff then correctly yields zero rows for it.) */
   def changedBuckets(from: Snapshot, to: Snapshot): Set[Int] = {
     def byBucket(s: Snapshot): Map[Int, Seq[(String, Long)]] =
-      s.files.groupBy(_.bucket).view
-        .mapValues(_.map(f => (f.path, f.rows)).sorted).toMap
+      (s.files.map(f => (f.bucket, (f.path, f.rows))) ++
+        s.deleteFiles.map(d => (d.bucket, (d.path, d.rows))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     val a = byBucket(from)
     val b = byBucket(to)
     (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
@@ -373,11 +428,10 @@ final class LakeTable(val root: Path) {
     def inst(us: Long) = java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
     val sel = filesInRange(snap, loMicros, hiMicros)
-    val schema = physicalSchema(snap)
-    val raw =
-      if (sel.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(sel.map(f => root.resolve(f.path).toString): _*)
+    // delete keys apply per url, so every delete file of the selected
+    // buckets applies even when some of its bucket's data files are pruned
+    val raw = readFiles(spark, physicalSchema(snap), sel,
+      snap.deleteFiles.filter(d => sel.exists(_.bucket == d.bucket)))
     raw.filter(!col(DeletedCol) &&
         col("warc_ts") >= lit(inst(loMicros)) && col("warc_ts") <= lit(inst(hiMicros)))
       .select(cols: _*)
@@ -396,9 +450,12 @@ final class LakeTable(val root: Path) {
     require(keepLast >= 1, s"keepLast must retain the current snapshot, got $keepLast")
     val versions = listVersions().sorted
     val (expire, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
-    val keptFiles = keep.flatMap(v => readSnapshot(v).files.map(_.path)).toSet
-    val doomed = expire.flatMap(v => readSnapshot(v).files.map(_.path))
-      .distinct.filterNot(keptFiles.contains)
+    def paths(v: Long): Seq[String] = {
+      val s = readSnapshot(v)
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+    }
+    val keptFiles = keep.flatMap(paths).toSet
+    val doomed = expire.flatMap(paths).distinct.filterNot(keptFiles.contains)
     expire.foreach(v => Files.deleteIfExists(snapPath(v)))
     val deleted = doomed.sorted.map { rel =>
       val p = root.resolve(rel)
@@ -411,7 +468,10 @@ final class LakeTable(val root: Path) {
   /** Data files not referenced by any snapshot (orphans from crashed batches).
     * Safe to delete; exposed for tests/GC. */
   def orphanFiles(): Seq[Path] = {
-    val referenced = listVersions().flatMap(v => readSnapshot(v).files.map(_.path)).toSet
+    val referenced = listVersions().flatMap { v =>
+      val s = readSnapshot(v)
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+    }.toSet
     if (!Files.isDirectory(dataDir)) Seq.empty
     else Files.list(dataDir).iterator().asScala
       .filter(p => !referenced.contains(root.relativize(p).toString))
@@ -423,6 +483,13 @@ object LakeTable {
   val SeqCol = "_seq"
   val DeletedCol = "_deleted"
   val BucketCol = "_bucket"
+  /** Read schema of an equality-delete file: just the key. */
+  val DeleteFileSchema: StructType =
+    StructType(Seq(StructField("url", StringType, nullable = false)))
+  /** Delete sets at or under this many keys are broadcast in the read-time
+    * anti-join (≈100 B/url → ≤200 MB); larger stacks fall back to a
+    * relational anti-join and signal that compaction is overdue. */
+  val BroadcastDeleteRows: Long = 2000000L
   private val SnapName = raw"v(\d+)\.json".r
   private[lake] val Mapper = new ObjectMapper()
 
@@ -475,6 +542,15 @@ object LakeTable {
       fn.put("sizeBytes", f.sizeBytes)
       f.tsMinMicros.foreach(fn.put("tsMinMicros", _))
       f.tsMaxMicros.foreach(fn.put("tsMaxMicros", _))
+      fn.put("addedVersion", f.addedVersion)
+    }
+    if (s.deleteFiles.nonEmpty) {
+      val dels = node.putArray("deleteFiles")
+      s.deleteFiles.foreach { f =>
+        val fn = dels.addObject()
+        fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
+        fn.put("sizeBytes", f.sizeBytes); fn.put("addedVersion", f.addedVersion)
+      }
     }
     val lin = node.putArray("lineage")
     s.lineage.foreach { m =>

@@ -442,6 +442,30 @@ object SystemQueries {
     finalState(s, table)
   }
 
+  /** Same final-state contract through MERGE-ON-READ trickle commits
+    * (Iceberg v2 equality-delete analog): after the first bulk load every
+    * batch writes only its changed rows plus equality-delete keys, and the
+    * read path must reconstruct the identical visible state through the
+    * stacked delta anti-joins — hash-checked against the SAME DuckDB LWW
+    * oracle as the rewrite replay. A half-way compaction folds the first
+    * deltas so the query also proves fold-then-stack composes. */
+  def cdcMorReplay(s: SparkSession, dir: String): DataFrame = {
+    writeTruth(s)
+    val work = Files.createTempDirectory("cdcmor")
+    val feedDir = work.resolve("feed").toString
+    FeedGen.writeSegments(CdcSpec, feedDir)
+    val table = LakeTable.create(work.resolve("table").toString,
+      CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
+    val cfg = IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 1,
+      mergeOnRead = true)
+    val segs = CdcIngest.listSegments(feedDir, s.sessionState.newHadoopConf())
+    segs.grouped(cfg.segmentsPerBatch).zipWithIndex.foreach { case (b, i) =>
+      CdcIngest.applyBatch(s, table, b, cfg)
+      if (i == 1) CdcIngest.compact(s, table) // fold mid-replay, then re-stack
+    }
+    finalState(s, table)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "strm_hourly" -> ((s, dir) => strmHourly(s, dir)),
     "strm_sessions" -> ((s, dir) => strmSessions(s, dir)),
@@ -462,6 +486,7 @@ object SystemQueries {
 
     // the same contract through Structured Streaming (foreachBatch MERGE)
     "cdc_stream_replay" -> ((s, dir) => cdcStreamReplay(s, dir)),
+    "cdc_mor_replay" -> ((s, dir) => cdcMorReplay(s, dir)),
 
     // binary WAL decode stats: the codegen'd decode_record path aggregated
     // per (op, schema_version), hash-checked vs DuckDB grouping the truth
@@ -816,6 +841,8 @@ object SystemQueries {
     // engine code involved.
     "cdc_replay_state" -> ReplayStateSql,
     "cdc_stream_replay" -> ReplayStateSql,
+    // merge-on-read replay must reconstruct the SAME final state
+    "cdc_mor_replay" -> ReplayStateSql,
     "cdc_decode_stats" ->
       s"""SELECT op, schema_version, COUNT(*) AS n, MIN(seq) AS min_seq,
          |  MAX(seq) AS max_seq, COUNT(DISTINCT url) AS n_urls
