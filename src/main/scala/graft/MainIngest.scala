@@ -36,7 +36,7 @@ object MainIngest {
         |  MainIngest gen    <feedDir> <numEvents> <numUrls> [eventsPerSegment] [evolveAtEvent]
         |  MainIngest init   <tableDir> [numBuckets]
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets] [maxFileRows] [--mor]
-        |  MainIngest stream <tableDir> <feedDir> [checkpointDir] [mviewDir]
+        |  MainIngest stream <tableDir> <feedDir> [checkpointDir] [mviewDir] [--mor]
         |  MainIngest compact <tableDir> [tombstoneHorizonIso] [minFilesPerBucket] [maxFileRows]
         |  MainIngest rebucket <tableDir> <newBuckets> [maxFileRows]
         |  MainIngest expire  <tableDir> <keepLastSnapshots>
@@ -120,13 +120,16 @@ object MainIngest {
 
     // Structured Streaming front-end: drains the WAL dir via availableNow
     // foreachBatch MERGE (resumable through the checkpoint dir)
-    case "stream" :: tableDir :: feedDir :: rest =>
+    case "stream" :: tableDir :: feedDir :: rest0 =>
+      val mor = rest0.contains("--mor")
+      val rest = rest0.filterNot(_ == "--mor")
       val ckpt = rest.headOption
       val mv = rest.drop(1).headOption
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val table = graft.lake.LakeTable.load(tableDir)
-      val cfg = IngestConfig(numBuckets = table.currentSnapshot().numBuckets)
+      val cfg = IngestConfig(numBuckets = table.currentSnapshot().numBuckets,
+        mergeOnRead = mor)
       val n = graft.ingest.StreamingIngest.run(spark, table, feedDir, cfg,
         checkpointDir = ckpt, mviewRoot = mv)
       val snap = table.currentSnapshot()

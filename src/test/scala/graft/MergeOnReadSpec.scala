@@ -82,6 +82,30 @@ class MergeOnReadSpec extends SparkTestBase {
     assert(state(table) == expected.values.map(e => (e.url, e.warcTs, e.text, e.lang)).toSet)
   }
 
+  test("streaming front-end replays MoR trickle commits to the serial oracle") {
+    // the resumed-tail shape MoR exists for: a base load, then new WAL
+    // segments landing between drains — each wave must commit changed rows
+    // + delete keys instead of rewriting its touched buckets (same seed +
+    // growing numEvents → identical segment prefix, so each run's listing
+    // sees only a contiguous tail of new segments)
+    val feed = tmpDir("morstreamfeed")
+    val table = LakeTable.create(tmpDir("morstreamtbl"), CdcIngest.PagesSchemaV1, 8)
+    val cfg = IngestConfig(numBuckets = 8, mergeOnRead = true)
+    val ckpt = tmpDir("morstreamckpt")
+    Seq(500, 1500, 3000).foreach { n =>
+      FeedGen.writeSegments(spec.copy(numEvents = n), feed)
+      graft.ingest.StreamingIngest.run(spark, table, feed, cfg,
+        checkpointDir = Some(ckpt))
+    }
+    val snap = table.currentSnapshot()
+    assert(snap.deleteFiles.nonEmpty, "streamed trickle commits must be MoR")
+    assert(snap.metrics("strategy") == "mor")
+    assert(snap.deleteFiles.map(_.addedVersion).distinct.size >= 2,
+      "each streamed wave should stack its own delete files")
+    val expected = FeedGen.expectedState(FeedGen.events(spec))
+    assert(state(table) == expected.values.map(e => (e.url, e.warcTs, e.text, e.lang)).toSet)
+  }
+
   test("lookup, time travel and time-slice reads are delete-aware") {
     val table = replay(spec, mor = true)
     val expected = FeedGen.expectedState(FeedGen.events(spec))
