@@ -48,6 +48,8 @@ object MainIngest {
         |  MainIngest mview   <tableDir> <mvDir>
         |  MainIngest fsck    <feedDir> [--deep] [--repair-tail]
         |  MainIngest export <tableDir> <outDir> [json|csv|parquet] [--checksums]
+        |  MainIngest files   <tableDir>
+        |  MainIngest history <tableDir>
         |  MainIngest show   <tableDir>
         |  MainIngest run      <registry.json> [manifestPath]
         |  MainIngest validate <registry.json>
@@ -165,11 +167,17 @@ object MainIngest {
       val table = LakeTable.load(tableDir)
       val cur = table.currentSnapshot()
       val before = cur.files.size
+      // long-tail selection counts DATA + EQUALITY-DELETE files: a stacked
+      // MoR delete chain is the same read-amplification as small files
+      // (every read of the bucket opens the whole stack), so minFiles also
+      // triggers the minor compaction that folds it
       val buckets = minFiles.map { k =>
-        cur.files.groupBy(_.bucket).collect { case (b, fs) if fs.size >= k => b }.toSet
+        (cur.files.map(_.bucket) ++ cur.deleteFiles.map(_.bucket))
+          .groupBy(identity).collect { case (b, bs) if bs.size >= k => b }.toSet
       }
       buckets.filter(_.isEmpty).foreach { _ =>
-        println(s"nothing to do: no bucket has >= ${minFiles.get} files")
+        println(s"nothing to do: no bucket has >= ${minFiles.get} files " +
+          "(data + delete)")
         spark.stop(); sys.exit(0)
       }
       val snap = CdcIngest.compact(spark, table, horizon, buckets, maxFileRows)
@@ -494,6 +502,23 @@ object MainIngest {
       r.sparkSchema.fields.foreach(f =>
         println(s"    ${f.name}: ${f.dataType.simpleString}" +
           (if (f.nullable) "" else " NOT NULL")))
+
+    // Iceberg metadata-table analogs: the current manifest (`files`) and
+    // the commit history (`history`) as relations — manifest-only, no
+    // data-file IO, so both are instant even on a huge table
+    case "files" :: tableDir :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      table.filesDf(spark).orderBy("kind", "bucket", "path").show(10000, false)
+      spark.stop()
+
+    case "history" :: tableDir :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      table.snapshotsDf(spark).orderBy("version").show(10000, false)
+      spark.stop()
 
     case "show" :: tableDir :: Nil =>
       val spark = session()

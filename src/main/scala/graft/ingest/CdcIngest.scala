@@ -759,9 +759,9 @@ object CdcIngest {
       * and NO post-join shuffle is needed. */
     def writeMerged(merged: DataFrame, newVersion: Long): Seq[DataFileEntry] = {
       val tmpDir = table.root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      val w = merged
+      val w = withUrlBloom(merged
         .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(numBuckets))
-        .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
+        .write).partitionBy(LakeTable.BucketCol).mode("overwrite")
       withMicrosTimestamps(spark) {
         (if (config.maxFileRows > 0)
            w.option("maxRecordsPerFile", config.maxFileRows)
@@ -946,13 +946,13 @@ object CdcIngest {
       case None    => all
     }
     val tmpDir = table.root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    val w = kept
+    val w = withUrlBloom(kept
       .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(snap.numBuckets))
       .repartition(snap.numBuckets, col("url")) // partitioning == bucket id
       // leading BucketCol satisfies the partitioned write's required
       // ordering, so FileFormatWriter adds NO extra sort of its own
       .sortWithinPartitions(col(LakeTable.BucketCol), col("warc_ts"), col("url"))
-      .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
+      .write).partitionBy(LakeTable.BucketCol).mode("overwrite")
     withMicrosTimestamps(spark) {
       (if (maxFileRows > 0) w.option("maxRecordsPerFile", maxFileRows) else w)
         .parquet(tmpDir.toString)
@@ -1048,11 +1048,11 @@ object CdcIngest {
     // the new layout starts with pure base files and no delete files
     val all = table.readFiles(spark, physical, snap.files, snap.deleteFiles)
     val tmpDir = table.root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    val w = all
+    val w = withUrlBloom(all
       .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(newBuckets))
       .repartition(newBuckets, col("url"))
       .sortWithinPartitions(col(LakeTable.BucketCol), col("warc_ts"), col("url"))
-      .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
+      .write).partitionBy(LakeTable.BucketCol).mode("overwrite")
     withMicrosTimestamps(spark) {
       (if (maxFileRows > 0) w.option("maxRecordsPerFile", maxFileRows) else w)
         .parquet(tmpDir.toString)
@@ -1229,6 +1229,22 @@ object CdcIngest {
     * zone maps and no parquet row-group pruning on `warc_ts`), and larger
     * on disk. Session-scoped set/restore — the engine's write paths are
     * the only callers and run one write at a time per session. */
+  /** Parquet split-block bloom filters on `url` for every lake DATA write
+    * (ingest merge, compaction, rebucket). At 100 TB a bucket's files hold
+    * many row groups, and the pushed `url IN (...)` residual of a point
+    * lookup can then skip every row group whose bloom misses — the
+    * row-group-level twin of the manifest's bucket planning. parquet-mr
+    * evaluates blooms during its row-group filtering, so nothing is needed
+    * on the read side. NDV is sized to the ROW GROUP (the bloom's scope),
+    * not the table: a ~128 MB row group of pages holds low-10^5 urls.
+    * Equality-delete files are NOT bloomed — they are always read whole
+    * (no residual key filter), so a bloom there is pure write cost. */
+  private def withUrlBloom(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    w.option("parquet.bloom.filter.enabled#url", "true")
+      .option("parquet.bloom.filter.expected.ndv#url", "100000")
+
   private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.get(key)

@@ -375,6 +375,43 @@ final class LakeTable(val root: Path) {
       "duration_ms", "watermark_segment")
   }
 
+  /** Iceberg `files` metadata-table analog: one row per manifest entry of
+    * the current snapshot — data files AND equality-delete files — built
+    * entirely from the committed manifest (a metadata-only query: zero
+    * data-file IO, O(files) driver rows). Exposing the manifest as a
+    * relation is what lets an operator ask "which buckets are long-tail?",
+    * "how deep is the delete stack?", "what does the zone-map coverage
+    * look like?" with plain SQL instead of reading 100 TB. The DuckDB
+    * oracle parses the same snapshot JSON independently, so the commit
+    * protocol's on-disk contract itself sits under the driver's hash gate. */
+  def filesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val s = currentSnapshot()
+    val data = s.files.map(f => ("data", f.path, f.bucket.toLong, f.rows,
+      f.sizeBytes, f.addedVersion, f.tsMinMicros, f.tsMaxMicros))
+    val dels = s.deleteFiles.map(d => ("delete", d.path, d.bucket.toLong, d.rows,
+      d.sizeBytes, d.addedVersion, None: Option[Long], None: Option[Long]))
+    (data ++ dels).toDF("kind", "path", "bucket", "rows", "size_bytes",
+      "added_version", "ts_min_micros", "ts_max_micros")
+  }
+
+  /** Iceberg `snapshots`/`history` metadata-table analog: one row per
+    * committed version with its commit strategy (bulk / pruned rewrite /
+    * mor) and file/row footprint — the table's whole history as a
+    * relation, again manifest-only. */
+  def snapshotsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    listVersions().sorted.map { v =>
+      val s = readSnapshot(v)
+      (s.version, s.batchId, s.parentVersion, s.watermarkSegment,
+        s.numBuckets.toLong, s.files.size.toLong, s.files.map(_.rows).sum,
+        s.deleteFiles.size.toLong, s.deleteFiles.map(_.rows).sum,
+        s.metrics.get("strategy").map(_.toString).getOrElse(""))
+    }.toDF("version", "batch_id", "parent_version", "watermark_segment",
+      "num_buckets", "n_data_files", "data_rows", "n_delete_files",
+      "delete_rows", "strategy")
+  }
+
   /** Manifest-planned point lookup: current live rows for the given keys,
     * reading ONLY the data files of the buckets the keys hash into (the
     * serving-layer read path of a key-bucketed lake table: at 100 TB /

@@ -390,6 +390,37 @@ object SystemQueries {
     Files.write(marker, sig.getBytes("UTF-8"))
   }
 
+  /** Fixed-path MERGE-ON-READ replay table for the metadata-table queries
+    * ([[LakeTable.filesDf]]/[[LakeTable.snapshotsDf]]): their DuckDB oracle
+    * parses the table's own committed snapshot JSON with `read_json_auto`,
+    * so the table must live at a path the static oracle SQL can name.
+    * MoR (segmentsPerBatch = 1) so the manifest carries every entry kind —
+    * bulk and mor commit strategies, stacked equality-delete files from
+    * several versions, and zone-map'd data files. Skip-if-current via the
+    * same spec-fingerprint marker discipline as [[writeTruth]]. */
+  private val MetaRoot = "/tmp/graft-cdc-metatable"
+  private def metaTable(s: SparkSession): LakeTable = synchronized {
+    val root = java.nio.file.Paths.get(MetaRoot)
+    val marker = root.resolve("_graft_spec")
+    val sig = s"$CdcSpec|buckets=$CdcBuckets|mor-meta-v1"
+    if (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == sig)
+      return LakeTable.load(root.resolve("table").toString)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(root)
+    val feedDir = root.resolve("feed").toString
+    FeedGen.writeSegments(CdcSpec, feedDir)
+    val table = LakeTable.create(root.resolve("table").toString,
+      CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
+    CdcIngest.run(s, table, feedDir, IngestConfig(numBuckets = CdcBuckets,
+      segmentsPerBatch = 1, mergeOnRead = true))
+    Files.write(marker, sig.getBytes("UTF-8"))
+    table
+  }
+
   /** Replay the deterministic binary feed into a fresh lake table through
     * the full engine path (decode → salted LWW dedup → MERGE → atomic
     * snapshot commits), multi-batch so cross-batch LWW and tombstones are
@@ -501,6 +532,16 @@ object SystemQueries {
         .agg(count(lit(1)).as("n"), min(col("seq")).as("min_seq"),
           max(col("seq")).as("max_seq"), countDistinct(col("url")).as("n_urls"))
     }),
+
+    // metadata tables (Iceberg `files` / `snapshots` analogs): the current
+    // manifest and the commit history as relations, built manifest-only
+    // (zero data IO). The oracle re-parses the SAME committed snapshot
+    // JSON with read_json_auto — an independent decode of the commit
+    // protocol's on-disk contract, so a mis-serialized manifest field,
+    // lost carry-over entry, or wrong addedVersion breaks the hash even
+    // when data reads still look right.
+    "cdc_meta_files" -> ((s, dir) => metaTable(s).filesDf(s)),
+    "cdc_meta_snapshots" -> ((s, dir) => metaTable(s).snapshotsDf(s)),
 
     // time travel (Iceberg VERSION AS OF): live state at the FIRST committed
     // batch (watermark segment 1 → truth events with seq < cut), read
@@ -847,6 +888,41 @@ object SystemQueries {
       s"""SELECT op, schema_version, COUNT(*) AS n, MIN(seq) AS min_seq,
          |  MAX(seq) AS max_seq, COUNT(DISTINCT url) AS n_urls
          |FROM read_parquet('$TruthGlob') GROUP BY 1, 2""".stripMargin,
+
+    // metadata tables: DuckDB independently parses the committed snapshot
+    // JSON manifests (read_json_auto) and must reproduce the engine's
+    // files / snapshots relations field-for-field
+    "cdc_meta_files" ->
+      s"""WITH snaps AS (
+         |  SELECT * FROM read_json_auto('$MetaRoot/table/snapshots/v*.json',
+         |                               union_by_name=true)),
+         |cur AS (SELECT * FROM snaps
+         |        WHERE version = (SELECT max(version) FROM snaps)),
+         |d AS (SELECT unnest(files, recursive := true) FROM cur),
+         |del AS (SELECT unnest(deleteFiles, recursive := true) FROM cur)
+         |SELECT 'data' AS kind, path, CAST(bucket AS BIGINT) AS bucket,
+         |  "rows", sizeBytes AS size_bytes, addedVersion AS added_version,
+         |  tsMinMicros AS ts_min_micros, tsMaxMicros AS ts_max_micros
+         |FROM d
+         |UNION ALL
+         |SELECT 'delete', path, CAST(bucket AS BIGINT), "rows", sizeBytes,
+         |  addedVersion, NULL, NULL
+         |FROM del""".stripMargin,
+    "cdc_meta_snapshots" ->
+      s"""WITH snaps AS (
+         |  SELECT * FROM read_json_auto('$MetaRoot/table/snapshots/v*.json',
+         |                               union_by_name=true))
+         |SELECT version, batchId AS batch_id, parentVersion AS parent_version,
+         |  watermarkSegment AS watermark_segment,
+         |  CAST(numBuckets AS BIGINT) AS num_buckets,
+         |  CAST(len(coalesce(files, [])) AS BIGINT) AS n_data_files,
+         |  CAST(coalesce(list_sum(list_transform(files, f -> f."rows")), 0)
+         |       AS BIGINT) AS data_rows,
+         |  CAST(len(coalesce(deleteFiles, [])) AS BIGINT) AS n_delete_files,
+         |  CAST(coalesce(list_sum(list_transform(deleteFiles, f -> f."rows")), 0)
+         |       AS BIGINT) AS delete_rows,
+         |  coalesce(metrics.strategy, '') AS strategy
+         |FROM snaps""".stripMargin,
     // time travel: the same LWW fold restricted to the truth prefix the
     // first commit covers (seq < V1CutSeq), pre-evolution column set only
     "cdc_time_travel" ->

@@ -82,6 +82,32 @@ class MergeOnReadSpec extends SparkTestBase {
     assert(state(table) == expected.values.map(e => (e.url, e.warcTs, e.text, e.lang)).toSet)
   }
 
+  test("metadata tables mirror the manifest: files entries and commit history") {
+    val table = replay(spec, mor = true)
+    val snap = table.currentSnapshot()
+    // files: one row per manifest entry, data + delete, field-for-field
+    val rows = table.filesDf(spark).collect()
+    assert(rows.length == snap.files.size + snap.deleteFiles.size)
+    val byPath = rows.map(r => r.getString(1) -> r).toMap
+    snap.files.foreach { f =>
+      val r = byPath(f.path)
+      assert(r.getString(0) == "data" && r.getLong(2) == f.bucket &&
+        r.getLong(3) == f.rows && r.getLong(5) == f.addedVersion)
+      assert(Option(r.get(6)).map(_.asInstanceOf[Long]) == f.tsMinMicros)
+    }
+    snap.deleteFiles.foreach { d =>
+      val r = byPath(d.path)
+      assert(r.getString(0) == "delete" && r.getLong(3) == d.rows &&
+        r.getLong(5) == d.addedVersion && r.isNullAt(6))
+    }
+    // history: create, bulk first load, then mor trickle commits
+    val hist = table.snapshotsDf(spark).orderBy("version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == table.listVersions().sorted)
+    assert(hist.map(_.getString(9)).toSeq.drop(1) ==
+      "bulk" +: Seq.fill(hist.length - 2)("mor"))
+    assert(hist.last.getLong(8) ==  snap.deleteFiles.map(_.rows).sum)
+  }
+
   test("streaming front-end replays MoR trickle commits to the serial oracle") {
     // the resumed-tail shape MoR exists for: a base load, then new WAL
     // segments landing between drains — each wave must commit changed rows
