@@ -795,6 +795,64 @@ object PipelineQueries {
           percentile(col("n"), lit(0.99)).as("p99_tokens"))
     }),
 
+    // corpus-self-estimated bigram LM quality score (the CCNet/KenLM
+    // quality-filter SHAPE, exactly computable): logP(doc) = Σ ln(C(w1,w2)
+    // / C(w1)) over the doc's word bigrams, counts estimated from the
+    // corpus itself in one explode+groupBy pass. Each bigram's log-prob is
+    // fixed-point-rounded to integer MICRO-units BEFORE the per-doc fold,
+    // so the fold is an integer sum — order-independent and bit-identical
+    // in DuckDB (the IVF centroid hash-parity trick). At 100 TB the model
+    // is vocab-bounded (min-count truncation in practice) and joins back
+    // against one corpus pass — broadcast when it fits, relational when not.
+    "ta_lm_score" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .where(size(col("ts")) >= 2)
+      val bigrams = toks
+        .select(col("doc_id"), explode(
+          transform(slice(col("ts"), lit(1), size(col("ts")) - 1),
+            (x, i) => struct(x.as("w1"),
+              element_at(col("ts"), i + lit(2)).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val lp = c2
+        .withColumn("c1", sum(col("c2")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+        .withColumn("logp_micro",
+          round(log(col("c2").cast("double") / col("c1").cast("double")) * 1e6)
+            .cast("long"))
+        .select("w1", "w2", "logp_micro")
+      bigrams.join(broadcast(lp), Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("logp_micro")).as("logp_micro_sum"))
+    }),
+
+    // PII scrubbing (the redaction stage every training corpus runs before
+    // release): one per-row projection redacting emails and phone-shaped
+    // tokens, emitting counts + a fingerprint of the redacted text. The
+    // synthesized documents carry no PII, so the query FIRST weaves a
+    // deterministic email + phone into each doc (same expression in the
+    // oracle — constructed input, stated openly): what is under test is
+    // the redaction mechanics — regex parity across engines, counting,
+    // and byte-stable output — not the corpus. Zero shuffle at any scale.
+    "ta_pii_redact" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" today")).as("text"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+      val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+      withPii.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5s(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("redacted_fp"))
+    }),
+
     "ta_corpus_filter" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
@@ -1112,6 +1170,40 @@ object PipelineQueries {
         |    - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac
         |FROM n""".stripMargin,
+    "ta_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |              FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |        FROM (SELECT doc_id, ts,
+        |                unnest(generate_series(1, len(ts)-1)) AS i
+        |              FROM toks)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |lp AS (SELECT c2.w1, c2.w2,
+        |         CAST(round(ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+        |              * 1e6) AS BIGINT) AS logp_micro
+        |       FROM c2 JOIN c1 ON c2.w1 = c1.w1)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(lp.logp_micro) AS BIGINT) AS logp_micro_sum
+        |FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+        |GROUP BY 1""".stripMargin,
+    "ta_pii_redact" ->
+      """WITH withpii AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example.com or +1-555-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       || ' today' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+        |    '<EMAIL>', 'g'), '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}',
+        |    '<PHONE>', 'g')) AS redacted_fp
+        |FROM withpii""".stripMargin,
     "dd_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT doc_id, md5(array_to_string(ts[i:i+12], ' ')) AS sh

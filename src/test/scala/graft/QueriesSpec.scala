@@ -144,6 +144,54 @@ class QueriesSpec extends SparkTestBase {
       "repetition fractions diverge from the explode/groupBy mirror")
   }
 
+  test("spot: ta_lm_score matches a brute-force in-JVM bigram model") {
+    // independent oracle: count bigrams in plain Scala over the collected
+    // corpus, then recompute each doc's micro-unit log-prob sum
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val allBigrams = docs.values.toSeq.flatMap(ts => ts.zip(ts.drop(1)))
+    val c2 = allBigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = allBigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def micro(bg: (String, String)): Long =
+      math.round(math.log(c2(bg).toDouble / c1(bg._1).toDouble) * 1e6)
+    val expected = docs.collect { case (id, ts) if ts.size >= 2 =>
+      val bgs = ts.zip(ts.drop(1))
+      (id, bgs.size.toLong, bgs.map(micro).sum)
+    }.toSet
+    val got = SparkEntry.queries("ta_lm_score")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, "LM scores diverge from the brute-force model")
+    assert(got.forall(_._3 <= 0L), "log-probs must be non-positive")
+  }
+
+  test("spot: ta_pii_redact counts are positive and the redacted text is clean") {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+".r
+    val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}".r
+    val rows = SparkEntry.queries("ta_pii_redact")(spark, sf).collect()
+    assert(rows.nonEmpty &&
+      rows.forall(r => r.getLong(1) >= 1L && r.getLong(2) >= 1L),
+      "every doc carries at least the injected email + phone")
+    // fingerprint equals md5 of an independently redacted reconstruction,
+    // and that reconstruction contains no residual matches
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val withPii = docs(id) + " contact user" + id +
+        "@mail.example.com or +1-555-" + f"${id % 10000}%04d" + " today"
+      val redacted = phoneRe.replaceAllIn(
+        emailRe.replaceAllIn(withPii, "<EMAIL>"), "<PHONE>")
+      assert(emailRe.findFirstIn(redacted).isEmpty &&
+        phoneRe.findFirstIn(redacted).isEmpty, s"residual PII in doc $id")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fp = md.digest(redacted.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(3) == fp, s"fingerprint mismatch for doc $id")
+    }
+  }
+
   test("spot: dd_dup_clusters labels are component-consistent with the LSH pairs") {
     val pairs = SparkEntry.queries("dd_minhash_pairs")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
