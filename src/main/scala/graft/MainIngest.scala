@@ -42,7 +42,11 @@ object MainIngest {
         |  MainIngest expire  <tableDir> <keepLastSnapshots>
         |  MainIngest lookup  <tableDir> <url> [url...]
         |  MainIngest slice   <tableDir> <fromIso> <toIso>
-        |  MainIngest asof    <tableDir> <version>
+        |  MainIngest asof    <tableDir> <version|tag>
+        |  MainIngest tag     <tableDir> <name> [version]
+        |  MainIngest tags    <tableDir>
+        |  MainIngest rollback <tableDir> <version|tag>
+        |  MainIngest gc      <tableDir> [--delete]
         |  MainIngest changes <tableDir> <fromVersion> <toVersion>
         |  MainIngest deltas  <tableDir> <fromVersion> <toVersion>
         |  MainIngest mview   <tableDir> <mvDir>
@@ -246,16 +250,57 @@ object MainIngest {
 
     // time travel: read the table as of a committed snapshot version,
     // through that snapshot's own schema (Iceberg VERSION AS OF analog)
-    case "asof" :: tableDir :: version :: Nil =>
+    case "asof" :: tableDir :: ref :: Nil =>
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val table = LakeTable.load(tableDir)
-      requireVersions(table, version.toLong)
-      val df = table.readAsOf(spark, version.toLong)
+      val version = table.resolveVersion(ref) // version number or tag name
+      requireVersions(table, version)
+      val df = table.readAsOf(spark, version)
       println(s"v$version: ${df.count()} live rows, " +
         s"schema [${df.schema.fieldNames.mkString(", ")}]")
       df.show(10, 60)
       spark.stop()
+
+    // immutable named refs (Iceberg tag analog): audit/rollback anchors
+    // that `expire` retains regardless of age
+    case "tag" :: tableDir :: name :: rest if rest.size <= 1 =>
+      val table = LakeTable.load(tableDir)
+      val v = rest.headOption.map(_.toLong)
+        .getOrElse(table.currentSnapshot().version)
+      table.tag(name, v)
+      println(s"tagged v$v as '$name'")
+
+    case "tags" :: tableDir :: Nil =>
+      val table = LakeTable.load(tableDir)
+      val ts = table.tags().toSeq.sortBy(_._2)
+      if (ts.isEmpty) println("no tags")
+      else ts.foreach { case (n, v) => println(s"$n -> v$v") }
+
+    // Iceberg rollback analog: restore a version's content + watermark as
+    // a NEW commit (history intact; later WAL segments re-apply on the
+    // next ingest)
+    case "rollback" :: tableDir :: ref :: Nil =>
+      val table = LakeTable.load(tableDir)
+      val v = table.resolveVersion(ref)
+      requireVersions(table, v)
+      val snap = table.rollback(v)
+      println(s"rolled back to v$v as v${snap.version}; " +
+        s"watermark segment ${snap.watermarkSegment}")
+
+    // orphan-file GC (Iceberg remove_orphan_files analog): data files not
+    // referenced by ANY snapshot — crashed batches, lost compaction races
+    case "gc" :: tableDir :: rest if rest.forall(_ == "--delete") =>
+      val table = LakeTable.load(tableDir)
+      val orphans = table.orphanFiles()
+      if (orphans.isEmpty) println("no orphan files")
+      else if (rest.contains("--delete")) {
+        orphans.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        println(s"deleted ${orphans.size} orphan files")
+      } else {
+        orphans.foreach(p => println(s"orphan: $p"))
+        println(s"${orphans.size} orphan files (re-run with --delete to remove)")
+      }
 
     // incremental changelog: I/U/D diff between two committed versions,
     // reading only buckets whose file sets changed (table_changes analog)

@@ -123,11 +123,13 @@ final class LakeTable(val root: Path) {
   /** Atomic commit. Returns the committed snapshot — which is `snap` on
     * success, or the already-committed identical snapshot when the same
     * batchId raced/was replayed (idempotent re-commit, SURVEY.md §2.10). */
-  def commit(snap: Snapshot): Snapshot = {
+  def commit(snap: Snapshot, allowSchemaRegression: Boolean = false): Snapshot = {
     // Fail-closed evolution gate: the new snapshot's schema must be an
     // additive/promotable evolution of the current one (no dropped columns,
     // no narrowing). Throws the typed SchemaEvolutionException otherwise.
-    if (listVersions().nonEmpty) {
+    // [[rollback]] is the one caller allowed through: restoring a
+    // pre-evolution snapshot legitimately restores its narrower schema.
+    if (!allowSchemaRegression && listVersions().nonEmpty) {
       val cur = currentSnapshot()
       if (cur.version < snap.version && cur.schemaJson != snap.schemaJson)
         graft.schema.SchemaValidator.requireCompatible(cur.schema, snap.schema)
@@ -483,10 +485,95 @@ final class LakeTable(val root: Path) {
     * is metadata-first: a crash after the manifest deletes leaves only
     * orphan data files (invisible, re-collectable), never a torn table.
     * @return (expired versions, deleted data-file paths) */
+  // ---- named refs (Iceberg tag analog) ------------------------------
+
+  def refsDir: Path = root.resolve("refs")
+
+  /** Tag a committed version with an immutable name (Iceberg tag analog):
+    * an audit/rollback anchor that [[expireSnapshots]] must retain. Claimed
+    * with the same link(2) discipline as version files, so a tag can never
+    * be silently re-pointed — re-tagging the same name at the same version
+    * is an idempotent no-op, at a different version an error. */
+  def tag(name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"tag name must be [A-Za-z0-9_-]+, got '$name'")
+    readSnapshot(version) // throws if the version does not exist
+    Files.createDirectories(refsDir)
+    val tmp = refsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    try {
+      try Files.createLink(refsDir.resolve(name), tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          Files.move(tmp, refsDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        val existing = tags()(name)
+        require(existing == version,
+          s"tag '$name' already points at v$existing (tags are immutable)")
+    }
+  }
+
+  def tags(): Map[String, Long] =
+    if (!Files.isDirectory(refsDir)) Map.empty
+    else {
+      val st = Files.list(refsDir)
+      try st.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => p.getFileName.toString ->
+          new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+        .toMap
+      finally st.close()
+    }
+
+  /** Resolve a version number or tag name to a version. */
+  def resolveVersion(ref: String): Long =
+    if (ref.nonEmpty && ref.forall(_.isDigit)) ref.toLong
+    else tags().getOrElse(ref,
+      throw new NoSuchElementException(s"no tag named '$ref'" +
+        (if (tags().isEmpty) " (no tags exist)" else s"; tags: ${tags().keys.mkString(", ")}")))
+
+  /** Iceberg rollback analog: commit a NEW snapshot whose content — file
+    * set (data + delete), schema, bucket count AND watermark — is an exact
+    * copy of `toVersion`'s, so both the visible state and the ingest
+    * resume point return to that version while history stays intact
+    * (nothing is deleted; "roll forward" is just another rollback).
+    * Re-ingesting afterwards replays the WAL tail above the restored
+    * watermark and converges to the oracle state again (spec-pinned).
+    * Restoring a pre-evolution schema is the one legitimate schema
+    * regression, so the commit's evolution gate is bypassed explicitly. */
+  def rollback(toVersion: Long): Snapshot = {
+    val target = readSnapshot(toVersion)
+    val cur = currentSnapshot()
+    require(toVersion <= cur.version,
+      s"cannot roll back to v$toVersion: table is at v${cur.version}")
+    commit(Snapshot(
+      version = cur.version + 1,
+      batchId = s"rollback-to-v$toVersion",
+      parentVersion = cur.version,
+      watermarkSegment = target.watermarkSegment,
+      schemaJson = target.schemaJson,
+      numBuckets = target.numBuckets,
+      files = target.files,
+      lineage = Seq.empty,
+      metrics = Map[String, Any]("events" -> 0L, "upserts" -> 0L,
+        "deletes" -> 0L, "rolledBackTo" -> toVersion),
+      deleteFiles = target.deleteFiles), allowSchemaRegression = true)
+  }
+
   def expireSnapshots(keepLast: Int): (Seq[Long], Seq[Path]) = {
     require(keepLast >= 1, s"keepLast must retain the current snapshot, got $keepLast")
     val versions = listVersions().sorted
-    val (expire, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val tagged = tags().values.toSet
+    val (expireByAge, keepByAge) =
+      versions.splitAt(math.max(0, versions.size - keepLast))
+    // tagged versions are retention anchors (Iceberg semantics): they and
+    // their files survive any age-based expiration until the tag is removed
+    val expire = expireByAge.filterNot(tagged.contains)
+    val keep = keepByAge ++ expireByAge.filter(tagged.contains)
     def paths(v: Long): Seq[String] = {
       val s = readSnapshot(v)
       s.files.map(_.path) ++ s.deleteFiles.map(_.path)
