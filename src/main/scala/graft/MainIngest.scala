@@ -43,6 +43,7 @@ object MainIngest {
         |  MainIngest lookup  <tableDir> <url> [url...]
         |  MainIngest slice   <tableDir> <fromIso> <toIso>
         |  MainIngest asof    <tableDir> <version|tag>
+        |  MainIngest promote <tableDir> <column> <ddlType>
         |  MainIngest tag     <tableDir> <name> [version]
         |  MainIngest tags    <tableDir>
         |  MainIngest rollback <tableDir> <version|tag>
@@ -261,6 +262,16 @@ object MainIngest {
         s"schema [${df.schema.fieldNames.mkString(", ")}]")
       df.show(10, 60)
       spark.stop()
+
+    // type promotion (ALTER TABLE … TYPE): metadata-only widening along
+    // the promotion matrix; old files upcast at scan time
+    case "promote" :: tableDir :: column :: ddlType :: Nil =>
+      val table = LakeTable.load(tableDir)
+      val to = org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+      val before = table.currentSnapshot().schema(column).dataType.simpleString
+      val snap = table.promoteColumn(column, to)
+      println(s"promoted $column: $before -> ${to.simpleString} at v${snap.version} " +
+        "(metadata-only; existing files upcast at scan time)")
 
     // immutable named refs (Iceberg tag analog): audit/rollback anchors
     // that `expire` retains regardless of age

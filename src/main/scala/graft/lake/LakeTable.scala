@@ -485,6 +485,48 @@ final class LakeTable(val root: Path) {
     * is metadata-first: a crash after the manifest deletes leaves only
     * orphan data files (invisible, re-collectable), never a torn table.
     * @return (expired versions, deleted data-file paths) */
+  /** Iceberg type-promotion analog (ALTER TABLE … TYPE): widen a column
+    * along the promotion matrix as a METADATA-ONLY commit. The file set is
+    * untouched — existing files keep their narrower physical type and
+    * Spark 4's parquet reader upcasts them at scan time — while every
+    * later merge writes the widened type, so a table converges to the new
+    * physical type through normal compaction. Restricted to the widenings
+    * the vectorized reader performs natively (integral ladder + float→
+    * double); promotions that need a data rewrite (→decimal, →string,
+    * date→timestamp) are refused with a rewrite hint rather than silently
+    * committing an unreadable schema. At 100 TB this is the difference
+    * between an O(1) DDL and rewriting the table. */
+  def promoteColumn(name: String, to: DataType): Snapshot = {
+    val cur = currentSnapshot()
+    val field = cur.schema.fields.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(
+        s"no column '$name' (have: ${cur.schema.fieldNames.mkString(", ")})"))
+    import org.apache.spark.sql.types._
+    val scanUpcastable = (field.dataType, to) match {
+      case (a, b) if a == b => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(graft.schema.TypeMapper.promotable(field.dataType, to),
+      s"cannot promote $name: ${field.dataType.simpleString} -> " +
+        s"${to.simpleString} is not in the promotion matrix")
+    require(scanUpcastable,
+      s"promotion $name: ${field.dataType.simpleString} -> ${to.simpleString} " +
+        "needs a data rewrite (compact/rebucket after casting), not a " +
+        "metadata-only commit — the parquet reader cannot upcast it in place")
+    val widened = StructType(cur.schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    commit(Snapshot(
+      version = cur.version + 1, batchId = s"promote-$name-${to.simpleString}",
+      parentVersion = cur.version, watermarkSegment = cur.watermarkSegment,
+      schemaJson = widened.json, numBuckets = cur.numBuckets,
+      files = cur.files, lineage = Seq.empty,
+      metrics = Map[String, Any]("events" -> 0L, "upserts" -> 0L, "deletes" -> 0L),
+      deleteFiles = cur.deleteFiles))
+  }
+
   // ---- named refs (Iceberg tag analog) ------------------------------
 
   def refsDir: Path = root.resolve("refs")
