@@ -490,6 +490,40 @@ object PipelineQueries {
           (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
     }),
 
+    // C4/CCNet-style exact paragraph dedup: drop every paragraph whose
+    // exact content appears earlier in the corpus (global keep-first by
+    // (doc_id, idx)), then rebuild each document from its kept paragraphs.
+    // The synthetic corpus has no newlines, so "paragraphs" are constructed
+    // as fixed 10-token non-overlapping chunks (constructed segmentation,
+    // stated openly — under test are the global first-occurrence rule and
+    // the ordered rebuild, not the splitter). Scale shape: one explode
+    // pass, ONE shuffle on the paragraph hash (the dedup keyspace), a hash
+    // join back, and a per-doc agg — exactly the CCNet paragraph-dedup
+    // plan; nothing is ever all-pairs and no driver state exists.
+    "dd_para_dedup" -> ((s, dir) => {
+      val P = 10
+      val paras = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), floor((size(col("ts")) - 1) / P).cast("int")),
+            k => concat_ws(" ", slice(col("ts"), k * P + 1, lit(P))))))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "para")
+        .withColumn("ph", md5s(col("para")))
+        // pack (doc_id, idx) into one orderable key: idx < 1e6 by corpus
+        // bounds (<= 10k tokens/doc), so the packing is collision-free
+        .withColumn("okey", col("doc_id") * 1000000L + col("idx"))
+      val first = paras.groupBy(col("ph")).agg(min(col("okey")).as("fkey"))
+      paras.join(first, Seq("ph"))
+        .withColumn("kept", col("okey") === col("fkey"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          md5s(concat_ws(" ",
+            transform(array_sort(collect_list(when(col("kept"),
+              struct(col("idx"), col("para"))))), x => x("para"))))
+            .as("dedup_fp"))
+    }),
+
     "dd_minhash_sig" -> ((s, dir) => minhashSig(s, dir)),
 
     "dd_minhash_pairs" -> ((s, dir) => minhashPairs(s, dir)),
@@ -1015,6 +1049,22 @@ object PipelineQueries {
          |SELECT da, db, inter, (sa.n + sb.n - inter) AS uni
          |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
          |WHERE 100 * inter >= 30 * (sa.n + sb.n - inter)""".stripMargin,
+    "dd_para_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |paras AS (SELECT doc_id, k AS idx,
+        |    array_to_string(ts[k*10+1 : k*10+10], ' ') AS para
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(0, (len(ts)-1)//10)) AS k FROM toks)),
+        |fk AS (SELECT md5(para) AS ph, MIN(doc_id*1000000 + idx) AS fkey
+        |       FROM paras GROUP BY 1),
+        |j AS (SELECT p.doc_id, p.idx, p.para,
+        |        (p.doc_id*1000000 + p.idx = fk.fkey) AS kept
+        |      FROM paras p JOIN fk ON md5(p.para) = fk.ph)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE kept), ''))
+        |    AS dedup_fp
+        |FROM j GROUP BY 1""".stripMargin,
     "dd_minhash_sig" -> MinhashSigSql,
     "dd_minhash_pairs" -> MinhashPairsSql,
     "dd_dup_clusters" ->

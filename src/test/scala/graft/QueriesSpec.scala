@@ -83,6 +83,38 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.queries("dd_exact")(spark, sf).count() == expected)
   }
 
+  test("spot: dd_para_dedup matches an in-JVM keep-first mirror and dedups for real") {
+    // independent oracle: serial fold over the whole corpus — chunk each
+    // doc into the same 10-token paragraphs, keep only each paragraph's
+    // global first occurrence by (doc_id, idx), rebuild the fingerprint
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val paras = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        r.getString(1).split(" ").grouped(10).zipWithIndex.map {
+          case (chunk, i) => (r.getLong(0), i.toLong, chunk.mkString(" "))
+        }
+      }
+    val firstKey = paras.groupBy(_._3)
+      .map { case (p, g) => p -> g.map(t => t._1 * 1000000L + t._2).min }
+    val mirror = paras.groupBy(_._1).map { case (id, g) =>
+      val kept = g.filter(t => firstKey(t._3) == t._1 * 1000000L + t._2)
+        .sortBy(_._2)
+      id -> ((g.length.toLong, kept.length.toLong,
+        md5hex(kept.map(_._3).mkString(" "))))
+    }
+    val got = SparkEntry.queries("dd_para_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == mirror.keySet, "must cover every doc exactly once")
+    mirror.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"doc $id diverges from the serial mirror") }
+    val dropped = mirror.values.map(v => v._1 - v._2).sum
+    assert(dropped > 0, "corpus must contain real cross-doc duplicate paragraphs")
+  }
+
   test("spot: ta_split_assign is deterministic, total, and ~90/5/5") {
     val a = SparkEntry.queries("ta_split_assign")(spark, sf)
     val b = SparkEntry.queries("ta_split_assign")(spark, sf)
