@@ -35,8 +35,8 @@ object MainIngest {
       """usage:
         |  MainIngest gen    <feedDir> <numEvents> <numUrls> [eventsPerSegment] [evolveAtEvent]
         |  MainIngest init   <tableDir> [numBuckets]
-        |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets] [maxFileRows] [--mor]
-        |  MainIngest stream <tableDir> <feedDir> [checkpointDir] [mviewDir] [--mor]
+        |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets] [maxFileRows] [--mor [--dv]]
+        |  MainIngest stream <tableDir> <feedDir> [checkpointDir] [mviewDir] [--mor [--dv]]
         |  MainIngest compact <tableDir> [tombstoneHorizonIso] [minFilesPerBucket] [maxFileRows]
         |  MainIngest rebucket <tableDir> <newBuckets> [maxFileRows]
         |  MainIngest expire  <tableDir> <keepLastSnapshots>
@@ -105,7 +105,8 @@ object MainIngest {
 
     case "ingest" :: tableDir :: feedDir :: rest0 =>
       val mor = rest0.contains("--mor")
-      val rest = rest0.filterNot(_ == "--mor")
+      val dv = rest0.contains("--dv")
+      val rest = rest0.filterNot(a => a == "--mor" || a == "--dv")
       val perBatch = rest.headOption.map(_.toInt).getOrElse(4)
       val salt = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
       val maxFileRows = rest.drop(2).headOption.map(_.toLong).getOrElse(0L)
@@ -117,7 +118,7 @@ object MainIngest {
       val snaps = CdcIngest.run(spark, table, feedDir,
         IngestConfig(numBuckets = before.numBuckets, saltBuckets = salt,
           segmentsPerBatch = perBatch, maxFileRows = maxFileRows,
-          mergeOnRead = mor))
+          mergeOnRead = mor, deleteVectors = dv))
       val secs = (System.nanoTime() - t0) / 1e9
       if (snaps.isEmpty)
         println(s"nothing to do: table already at segment ${before.watermarkSegment}")
@@ -133,14 +134,15 @@ object MainIngest {
     // foreachBatch MERGE (resumable through the checkpoint dir)
     case "stream" :: tableDir :: feedDir :: rest0 =>
       val mor = rest0.contains("--mor")
-      val rest = rest0.filterNot(_ == "--mor")
+      val dv = rest0.contains("--dv")
+      val rest = rest0.filterNot(a => a == "--mor" || a == "--dv")
       val ckpt = rest.headOption
       val mv = rest.drop(1).headOption
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
       val table = graft.lake.LakeTable.load(tableDir)
       val cfg = IngestConfig(numBuckets = table.currentSnapshot().numBuckets,
-        mergeOnRead = mor)
+        mergeOnRead = mor, deleteVectors = dv)
       val n = graft.ingest.StreamingIngest.run(spark, table, feedDir, cfg,
         checkpointDir = ckpt, mviewRoot = mv)
       val snap = table.currentSnapshot()

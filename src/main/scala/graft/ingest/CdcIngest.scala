@@ -65,7 +65,18 @@ object CdcIngest {
       // writes — the write-amplification lever; the read-time cost is one
       // broadcast anti-join until the next compaction. Bulk batches (and
       // the first load into an empty table) still take the full-merge path.
-      mergeOnRead: Boolean = false)
+      mergeOnRead: Boolean = false,
+      // With mergeOnRead: write POSITIONAL deletion vectors (Iceberg v3 /
+      // Delta DV analog) instead of equality-delete keys — the commit
+      // records the exact (file, row) positions it supersedes. Write cost:
+      // one extra column-pruned scan of the touched buckets (url + file
+      // metadata only) to locate the positions; read benefit: the delete
+      // anti-join keys on (file, pos) with no per-row key equality against
+      // stacked predicates and no addedVersion arithmetic, and vectors
+      // stay MINIMAL (each physical position is recorded at most once,
+      // ever — see the prior-vector anti-join in applyBatch). The two
+      // formats coexist in one manifest; compaction folds both.
+      deleteVectors: Boolean = false)
 
   /** User-facing v1 schema of the pages lake table (BASELINE.json:input_hint). */
   val PagesSchemaV1: StructType = StructType(Seq(
@@ -852,14 +863,23 @@ object CdcIngest {
                 .persist(StorageLevel.MEMORY_AND_DISK)
               try {
                 val dataFiles = writeMerged(changed, newVersion)
-                val delTmp = table.root.resolve(s".tmp-del-${java.util.UUID.randomUUID()}")
-                changed.select(col("url"), col(LakeTable.BucketCol))
-                  .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
-                  .parquet(delTmp.toString)
-                val delFiles = moveDataFiles(spark, table, delTmp, newVersion, "-del")
-                  .map(f => graft.lake.DeleteFileEntry(
-                    f.path, f.bucket, f.rows, f.sizeBytes, newVersion))
-                (dataFiles, snap.files, snap.deleteFiles, delFiles, "mor")
+                val delFiles =
+                  if (config.deleteVectors)
+                    writeDeletionVectors(
+                      spark, table, snap, changed, touched, numBuckets,
+                      newVersion, dataFiles.map(_.rows).sum)
+                  else {
+                    val delTmp = table.root.resolve(
+                      s".tmp-del-${java.util.UUID.randomUUID()}")
+                    changed.select(col("url"), col(LakeTable.BucketCol))
+                      .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
+                      .parquet(delTmp.toString)
+                    moveDataFiles(spark, table, delTmp, newVersion, "-del")
+                      .map(f => graft.lake.DeleteFileEntry(
+                        f.path, f.bucket, f.rows, f.sizeBytes, newVersion))
+                  }
+                (dataFiles, snap.files, snap.deleteFiles, delFiles,
+                  if (config.deleteVectors) "mor-dv" else "mor")
               } finally changed.unpersist()
             } else {
               val fs = writeMerged(mergeLww(src, target, dataCols), newVersion)
@@ -1207,6 +1227,58 @@ object CdcIngest {
         } :+
         col("s.seq").as(LakeTable.SeqCol) :+
         isDel.as(LakeTable.DeletedCol): _*)
+  }
+
+  /** Locate and record the exact (file, row) positions a MoR-DV commit
+    * supersedes (Iceberg v3 deletion-vector / Delta DV analog). One
+    * column-pruned scan of the touched buckets' existing files (url plus
+    * the parquet reader's free `_metadata` file identity) is semi-joined
+    * against the batch's changed keys (broadcast — trickle-sized), then
+    * anti-joined against the PRIOR vectors of the same buckets so each
+    * physical position is recorded at most once ever: without that, a
+    * hot url updated every batch would re-record its long-dead base-file
+    * position each time and the vector stack would grow O(batches). The
+    * same property keeps the read-time anti-join input minimal. Returns
+    * the new vector files, bucket-partitioned like every delete file. */
+  private def writeDeletionVectors(
+      spark: SparkSession,
+      table: LakeTable,
+      snap: Snapshot,
+      changed: DataFrame,
+      touched: Set[Int],
+      numBuckets: Int,
+      newVersion: Long,
+      changedRows: Long): Seq[graft.lake.DeleteFileEntry] = {
+    val touchedFiles = snap.files.filter(f => touched.contains(f.bucket))
+    if (touchedFiles.isEmpty) return Seq.empty
+    val keyOnly = StructType(Seq(StructField("url", StringType)))
+    val existing = spark.read.schema(keyOnly)
+      .parquet(touchedFiles.map(f => table.root.resolve(f.path).toString): _*)
+      .select(col("url"),
+        col("_metadata.file_name").as("_dfname"),
+        col("_metadata.row_index").as("_dpos"))
+    val keys = changed.select("url").distinct()
+    var dvRows = existing.join(
+      if (changedRows <= LakeTable.BroadcastDeleteRows) broadcast(keys) else keys,
+      Seq("url"), "left_semi")
+    val priorDv = snap.deleteFiles.filter(d =>
+      touched.contains(d.bucket) && d.kind == graft.lake.DeleteFileEntry.Positional)
+    if (priorDv.nonEmpty) {
+      val prior = spark.read.schema(LakeTable.DvFileSchema)
+        .parquet(priorDv.map(f => table.root.resolve(f.path).toString): _*)
+      val small = priorDv.map(_.rows).sum <= LakeTable.BroadcastDeleteRows
+      dvRows = dvRows.join(if (small) broadcast(prior) else prior,
+        Seq("_dfname", "_dpos"), "left_anti")
+    }
+    val dvTmp = table.root.resolve(s".tmp-dv-${java.util.UUID.randomUUID()}")
+    dvRows
+      .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(numBuckets))
+      .select("_dfname", "_dpos", LakeTable.BucketCol)
+      .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
+      .parquet(dvTmp.toString)
+    moveDataFiles(spark, table, dvTmp, newVersion, "-dv")
+      .map(f => graft.lake.DeleteFileEntry(f.path, f.bucket, f.rows, f.sizeBytes,
+        newVersion, kind = graft.lake.DeleteFileEntry.Positional))
   }
 
   /** Move spark's partitioned output into the table's data dir under

@@ -27,15 +27,32 @@ final case class DataFileEntry(path: String, bucket: Int, rows: Long, sizeBytes:
     tsMinMicros: Option[Long] = None, tsMaxMicros: Option[Long] = None,
     addedVersion: Long = 0L)
 
-/** An equality-delete file (Iceberg v2 merge-on-read analog): a parquet
-  * file of `url` keys written by a MoR trickle commit. At read time it
-  * removes matching keys from every data file with a STRICTLY OLDER
-  * `addedVersion` — the same commit's own data file (equal version) is
-  * exempt, so a MoR commit's new winners survive their own delete keys.
-  * Legacy data files parse with addedVersion 0 and are therefore subject
-  * to every delete file, which is correct: they predate all MoR commits. */
+/** A merge-on-read delete file, in one of two formats:
+  *
+  *   - `kind = "equality"` (Iceberg v2 equality-delete analog): a parquet
+  *     file of `url` keys. At read time it removes matching keys from every
+  *     data file with a STRICTLY OLDER `addedVersion` — the same commit's
+  *     own data file (equal version) is exempt, so a MoR commit's new
+  *     winners survive their own delete keys. Legacy data files parse with
+  *     addedVersion 0 and are therefore subject to every delete file,
+  *     which is correct: they predate all MoR commits.
+  *   - `kind = "positional"` (Iceberg v3 deletion-vector / Delta DV
+  *     analog): a parquet file of exact (`_dfname`, `_dpos`) row positions
+  *     superseded by the commit. No version arithmetic at read time — a
+  *     vector can never reference its own commit's files because positions
+  *     are computed from the files that existed BEFORE the commit.
+  *
+  * The `kind` field is serialized only when positional, so pre-existing
+  * snapshot JSON (and the fixed-path metadata-table oracle that re-parses
+  * it) is byte-for-byte unchanged. */
 final case class DeleteFileEntry(path: String, bucket: Int, rows: Long,
-    sizeBytes: Long, addedVersion: Long)
+    sizeBytes: Long, addedVersion: Long,
+    kind: String = DeleteFileEntry.Equality)
+
+object DeleteFileEntry {
+  val Equality = "equality"
+  val Positional = "positional"
+}
 
 final case class Snapshot(
     version: Long,
@@ -108,7 +125,8 @@ final class LakeTable(val root: Path) {
       deleteFiles = Option(node.get("deleteFiles")).toSeq.flatMap(_.elements().asScala.map { f =>
         DeleteFileEntry(f.get("path").asText(), f.get("bucket").asInt(),
           f.get("rows").asLong(), f.get("sizeBytes").asLong(),
-          f.get("addedVersion").asLong())
+          f.get("addedVersion").asLong(),
+          Option(f.get("kind")).map(_.asText()).getOrElse(DeleteFileEntry.Equality))
       }))
   }
 
@@ -296,36 +314,69 @@ final class LakeTable(val root: Path) {
   }
 
   /** Read an explicit data-file selection through `schema`, applying
-    * equality-delete files: a delete file at `addedVersion` dv removes its
-    * keys from every data file with `addedVersion < dv` (never from its
-    * own commit's data file). Between compactions only a handful of
-    * distinct addedVersions exist, so the union below has few legs; the
-    * delete side is trickle-sized and broadcast (under [[BroadcastDeleteRows]]
-    * keys) so the data side stays a plain scan — no shuffle is added to
-    * any read path. Compaction folds the deltas and clears the delete
-    * files, which is the maintenance lever that bounds this stack. */
+    * merge-on-read delete files of both kinds:
+    *
+    *   - equality: a delete file at `addedVersion` dv removes its keys from
+    *     every data file with `addedVersion < dv` (never from its own
+    *     commit's data file). Between compactions only a handful of
+    *     distinct addedVersions exist, so the union below has few legs.
+    *   - positional (deletion vectors): an anti-join on the exact
+    *     (`file_name`, `row_index`) pairs the vectors name — no version
+    *     arithmetic and no key-width cost (file identity comes free from
+    *     the parquet reader's `_metadata` columns, selected per scan leg).
+    *
+    * Either delete side is trickle-sized and broadcast (under
+    * [[BroadcastDeleteRows]] rows) so the data side stays a plain scan —
+    * no shuffle is added to any read path. Compaction folds the deltas and
+    * clears the delete files, which is the maintenance lever that bounds
+    * both stacks. */
   def readFiles(spark: SparkSession, schema: StructType,
       sel: Seq[DataFileEntry], dels: Seq[DeleteFileEntry]): DataFrame = {
     if (sel.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val selBuckets = sel.map(_.bucket).toSet
     val minAv = sel.map(_.addedVersion).min
-    val applicable = dels.filter(d => selBuckets.contains(d.bucket) && d.addedVersion > minAv)
-    if (applicable.isEmpty)
+    val (pos0, eq0) = dels.partition(_.kind == DeleteFileEntry.Positional)
+    val eqDels = eq0.filter(d => selBuckets.contains(d.bucket) && d.addedVersion > minAv)
+    // a vector never references its own commit's files, so bucket overlap
+    // is the only applicability test positional deletes need
+    val posDels = pos0.filter(d => selBuckets.contains(d.bucket))
+    if (eqDels.isEmpty && posDels.isEmpty)
       return spark.read.schema(schema).parquet(sel.map(f => root.resolve(f.path).toString): _*)
-    val data = sel.groupBy(_.addedVersion).toSeq.map { case (av, fs) =>
-      spark.read.schema(schema).parquet(fs.map(f => root.resolve(f.path).toString): _*)
-        .withColumn("_av", lit(av))
-    }.reduce(_ unionByName _)
-    val delDf = applicable.groupBy(_.addedVersion).toSeq.map { case (dv, fs) =>
-      spark.read.schema(LakeTable.DeleteFileSchema)
+    def leg(fs: Seq[DataFileEntry], av: Long): DataFrame = {
+      var df = spark.read.schema(schema)
         .parquet(fs.map(f => root.resolve(f.path).toString): _*)
-        .select(col("url").as("_durl")).withColumn("_dv", lit(dv))
-    }.reduce(_ unionByName _)
-    val small = applicable.map(_.rows).sum <= LakeTable.BroadcastDeleteRows
-    data.join(if (small) broadcast(delDf) else delDf,
-        data("url") === col("_durl") && col("_dv") > col("_av"), "left_anti")
-      .drop("_av")
+      if (posDels.nonEmpty)
+        df = df.withColumn("_fname", col("_metadata.file_name"))
+          .withColumn("_pos", col("_metadata.row_index"))
+      if (eqDels.nonEmpty) df = df.withColumn("_av", lit(av))
+      df
+    }
+    var data =
+      if (eqDels.isEmpty) leg(sel, 0L)
+      else sel.groupBy(_.addedVersion).toSeq
+        .map { case (av, fs) => leg(fs, av) }.reduce(_ unionByName _)
+    if (posDels.nonEmpty) {
+      val dv = spark.read.schema(LakeTable.DvFileSchema)
+        .parquet(posDels.map(f => root.resolve(f.path).toString): _*)
+      val small = posDels.map(_.rows).sum <= LakeTable.BroadcastDeleteRows
+      data = data.join(if (small) broadcast(dv) else dv,
+          data("_fname") === dv("_dfname") && data("_pos") === dv("_dpos"),
+          "left_anti")
+        .drop("_fname", "_pos")
+    }
+    if (eqDels.nonEmpty) {
+      val delDf = eqDels.groupBy(_.addedVersion).toSeq.map { case (dv, fs) =>
+        spark.read.schema(LakeTable.DeleteFileSchema)
+          .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+          .select(col("url").as("_durl")).withColumn("_dv", lit(dv))
+      }.reduce(_ unionByName _)
+      val small = eqDels.map(_.rows).sum <= LakeTable.BroadcastDeleteRows
+      data = data.join(if (small) broadcast(delDf) else delDf,
+          data("url") === col("_durl") && col("_dv") > col("_av"), "left_anti")
+        .drop("_av")
+    }
+    data
   }
 
   /** Live rows, user schema only (tombstones and system columns dropped). */
@@ -751,6 +802,13 @@ object LakeTable {
   /** Read schema of an equality-delete file: just the key. */
   val DeleteFileSchema: StructType =
     StructType(Seq(StructField("url", StringType, nullable = false)))
+  /** Read schema of a positional deletion-vector file: the superseded
+    * row's data-file BASENAME (version-scoped names are unique within a
+    * table, and basenames survive a table move) and its 0-based row index
+    * as the parquet reader reports it (`_metadata.row_index`). */
+  val DvFileSchema: StructType = StructType(Seq(
+    StructField("_dfname", StringType, nullable = false),
+    StructField("_dpos", LongType, nullable = false)))
   /** Delete sets at or under this many keys are broadcast in the read-time
     * anti-join (≈100 B/url → ≤200 MB); larger stacks fall back to a
     * relational anti-join and signal that compaction is overdue. */
@@ -815,6 +873,7 @@ object LakeTable {
         val fn = dels.addObject()
         fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
         fn.put("sizeBytes", f.sizeBytes); fn.put("addedVersion", f.addedVersion)
+        if (f.kind != DeleteFileEntry.Equality) fn.put("kind", f.kind)
       }
     }
     val lin = node.putArray("lineage")

@@ -497,6 +497,42 @@ object SystemQueries {
     finalState(s, table)
   }
 
+  /** Fixed-path POSITIONAL deletion-vector replay table (MoR with
+    * `deleteVectors = true`, one segment per batch so vectors stack across
+    * many commits, never compacted so the stack survives for the oracle).
+    * cdc_dv_replay's DuckDB oracle does NOT re-fold the truth stream —
+    * it re-applies the deletion-vector contract from the raw on-disk
+    * artifacts: read every base parquet file with `filename` +
+    * `file_row_number`, anti-join the vector files on (basename, position),
+    * drop tombstones. If Spark's vector application and DuckDB's
+    * independent one disagree on a single row position, the hash breaks.
+    * Base data files and vector files are told apart by the version-scoped
+    * name scheme itself (`s########-b*` vs `s########-dv-b*`), which the
+    * static SQL can glob. Skip-if-current via the spec-fingerprint marker
+    * discipline of [[writeTruth]]/[[metaTable]]. */
+  private val DvRoot = "/tmp/graft-cdc-dvtable"
+  private def dvTable(s: SparkSession): LakeTable = synchronized {
+    val root = java.nio.file.Paths.get(DvRoot)
+    val marker = root.resolve("_graft_spec")
+    val sig = s"$CdcSpec|buckets=$CdcBuckets|mor-dv-v1"
+    if (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == sig)
+      return LakeTable.load(root.resolve("table").toString)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(root)
+    val feedDir = root.resolve("feed").toString
+    FeedGen.writeSegments(CdcSpec, feedDir)
+    val table = LakeTable.create(root.resolve("table").toString,
+      CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
+    CdcIngest.run(s, table, feedDir, IngestConfig(numBuckets = CdcBuckets,
+      segmentsPerBatch = 1, mergeOnRead = true, deleteVectors = true))
+    Files.write(marker, sig.getBytes("UTF-8"))
+    table
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "strm_hourly" -> ((s, dir) => strmHourly(s, dir)),
     "strm_sessions" -> ((s, dir) => strmSessions(s, dir)),
@@ -518,6 +554,10 @@ object SystemQueries {
     // the same contract through Structured Streaming (foreachBatch MERGE)
     "cdc_stream_replay" -> ((s, dir) => cdcStreamReplay(s, dir)),
     "cdc_mor_replay" -> ((s, dir) => cdcMorReplay(s, dir)),
+
+    // the same contract with POSITIONAL deletion vectors; oracle = DuckDB
+    // independently re-applying the vectors to the raw on-disk files
+    "cdc_dv_replay" -> ((s, dir) => finalState(s, dvTable(s))),
 
     // binary WAL decode stats: the codegen'd decode_record path aggregated
     // per (op, schema_version), hash-checked vs DuckDB grouping the truth
@@ -884,6 +924,29 @@ object SystemQueries {
     "cdc_stream_replay" -> ReplayStateSql,
     // merge-on-read replay must reconstruct the SAME final state
     "cdc_mor_replay" -> ReplayStateSql,
+    // deletion-vector replay: NOT the truth fold — DuckDB re-applies the
+    // positional-delete contract to the engine's own on-disk files (base
+    // rows keyed by (basename, file_row_number), vector files anti-joined,
+    // tombstones dropped); a single mis-recorded or mis-applied position
+    // breaks the hash
+    "cdc_dv_replay" ->
+      s"""WITH base AS (
+         |  SELECT url, warc_ts, lang, text, fetch_status, content_len, _deleted,
+         |         regexp_extract(filename, '[^/]+$$') AS fname,
+         |         file_row_number AS pos
+         |  FROM read_parquet('$DvRoot/table/data/s????????-b*.parquet',
+         |                    union_by_name=true, filename=true,
+         |                    file_row_number=true)),
+         |dv AS (SELECT _dfname, _dpos
+         |       FROM read_parquet('$DvRoot/table/data/s????????-dv-b*.parquet'))
+         |SELECT url,
+         |  -- engine files carry TIMESTAMP_MICROS adjusted-to-UTC (DuckDB:
+         |  -- TIMESTAMPTZ); strip to naive UTC to match the Spark dump
+         |  warc_ts AT TIME ZONE 'UTC' AS warc_ts,
+         |  lang, md5(text) AS text_fp, fetch_status, content_len
+         |FROM base b
+         |WHERE NOT _deleted
+         |  AND NOT EXISTS (SELECT 1 FROM dv WHERE _dfname = b.fname AND _dpos = b.pos)""".stripMargin,
     "cdc_decode_stats" ->
       s"""SELECT op, schema_version, COUNT(*) AS n, MIN(seq) AS min_seq,
          |  MAX(seq) AS max_seq, COUNT(DISTINCT url) AS n_urls
