@@ -500,6 +500,51 @@ object PipelineQueries {
     // pass, ONE shuffle on the paragraph hash (the dedup keyspace), a hash
     // join back, and a per-doc agg — exactly the CCNet paragraph-dedup
     // plan; nothing is ever all-pairs and no driver state exists.
+    // Crawl-style URL canonicalization + variant folding: lowercase
+    // scheme/host, strip the scheme's default port and a leading "www.",
+    // drop the fragment, drop utm_* tracking params, sort the surviving
+    // query params — then group by the canonical form (min-doc_id keeper,
+    // variant counts). The corpus has no url column, so each doc gets a
+    // deterministically MESSY url synthesized from doc_id (case/port/
+    // param-order/utm/fragment variants — constructed input, stated
+    // openly; the canonicalization rules are what is under test, and the
+    // identical construction expression runs in both engines). Scale
+    // shape: per-row string work + ONE groupBy on the canonical key —
+    // the first shuffle of every crawl dedup pipeline.
+    "dd_url_canon" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("raw_url", concat(
+          when(col("doc_id") % 3 === 0, lit("http"))
+            .when(col("doc_id") % 3 === 1, lit("HTTP")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("www.D"), (col("doc_id") % 25).cast("string"), lit(".Example.COM")))
+            .otherwise(concat(lit("d"), (col("doc_id") % 25).cast("string"), lit(".example.com"))),
+          when(col("doc_id") % 3 === 0, lit(":80"))
+            .when(col("doc_id") % 3 === 2 && col("doc_id") % 4 === 1, lit(":443"))
+            .otherwise(lit("")),
+          lit("/p/"), (col("doc_id") % 50).cast("string"), lit("?"),
+          when(col("doc_id") % 2 === 0, lit("b=2&a=1")).otherwise(lit("a=1&b=2")),
+          when(col("doc_id") % 5 === 0, lit("&utm_source=feed")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("#sec2")).otherwise(lit(""))))
+      val scheme = lower(regexp_extract(col("raw_url"), "^([A-Za-z]+)://", 1))
+      val hostport = lower(regexp_extract(col("raw_url"), "^[A-Za-z]+://([^/?#]+)", 1))
+      val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+      val host = regexp_replace(noPort, "^www\\.", "")
+      val path0 = regexp_extract(col("raw_url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+      val path = when(path0 === "", lit("/")).otherwise(path0)
+      val q = array_join(array_sort(filter(
+        split(regexp_extract(col("raw_url"), "\\?([^#]*)", 1), "&"),
+        x => x =!= "" && !startswith(x, lit("utm_")))), "&")
+      d.withColumn("canon_url", concat(scheme, lit("://"), host, path,
+          when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_variants"),
+          countDistinct(col("raw_url")).as("n_raw"))
+    }),
+
     "dd_para_dedup" -> ((s, dir) => {
       val P = 10
       val paras = t(s, dir, "documents")
@@ -862,6 +907,42 @@ object PipelineQueries {
           sum(col("logp_micro")).as("logp_micro_sum"))
     }),
 
+    // DSIR-style importance weight for data selection (Xie et al. 2023
+    // shape): score every doc by how much its unigram distribution looks
+    // like a TARGET domain (here the corpus's own lang='en' slice — a
+    // natural in-corpus target) versus the raw corpus. One explode +
+    // groupBy pass estimates both distributions at once (c_tgt rides the
+    // same aggregate as c_raw); words below df=5 are truncated so the
+    // model is vocab-bounded at any corpus size; each word's log ratio
+    // ln(p_tgt(w)/p_raw(w)) (add-1 smoothed on the target side) is
+    // fixed-point-rounded to integer micro-units BEFORE the per-doc fold,
+    // making the fold an order-independent integer sum — bit-identical in
+    // DuckDB (the ta_lm_score parity construction). Model joins back
+    // broadcast; docs re-weighted in one corpus pass. At 100 TB this is
+    // the cheap-featurized importance sampler run before expensive
+    // training: two shuffles total (model build + per-doc fold), both on
+    // bounded keyspaces.
+    "ta_dsir_weight" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      val model = words.groupBy("w")
+        .agg(count(lit(1)).as("c_raw"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+        .where(col("c_raw") >= 5)
+      val totals = model.agg(sum(col("c_raw")).cast("double").as("rt"),
+        sum(col("c_tgt")).cast("double").as("tt"),
+        count(lit(1)).cast("double").as("v"))
+      val lr = model.crossJoin(broadcast(totals))
+        .withColumn("lr_micro",
+          round(log(((col("c_tgt").cast("double") + 1.0) / (col("tt") + col("v"))) /
+            (col("c_raw").cast("double") / col("rt"))) * 1e6).cast("long"))
+        .select("w", "lr_micro")
+      words.join(broadcast(lr), Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_scored"),
+          sum(col("lr_micro")).as("dsir_micro_sum"))
+    }),
+
     // PII scrubbing (the redaction stage every training corpus runs before
     // release): one per-row projection redacting emails and phone-shaped
     // tokens, emitting counts + a fingerprint of the redacted text. The
@@ -1049,6 +1130,42 @@ object PipelineQueries {
          |SELECT da, db, inter, (sa.n + sb.n - inter) AS uni
          |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
          |WHERE 100 * inter >= 30 * (sa.n + sb.n - inter)""".stripMargin,
+    "dd_url_canon" ->
+      """WITH raw AS (SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'https' END)
+        |    || '://'
+        |    || (CASE doc_id % 2 WHEN 0
+        |          THEN 'www.D' || CAST(doc_id % 25 AS VARCHAR) || '.Example.COM'
+        |          ELSE 'd' || CAST(doc_id % 25 AS VARCHAR) || '.example.com' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+        |             WHEN doc_id % 3 = 2 AND doc_id % 4 = 1 THEN ':443'
+        |             ELSE '' END)
+        |    || '/p/' || CAST(doc_id % 50 AS VARCHAR) || '?'
+        |    || (CASE doc_id % 2 WHEN 0 THEN 'b=2&a=1' ELSE 'a=1&b=2' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '&utm_source=feed' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS raw_url
+        |  FROM documents),
+        |parts AS (SELECT doc_id, raw_url,
+        |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+        |    regexp_extract(raw_url, '\?([^#]*)', 1) AS q0
+        |  FROM raw),
+        |canon AS (SELECT doc_id, raw_url,
+        |    scheme || '://'
+        |    || regexp_replace(
+        |         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |              ELSE hostport END, '^www\.', '')
+        |    || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+        |    || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon_url
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+        |          string_split(q0, '&'),
+        |          x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS qs
+        |        FROM parts))
+        |SELECT canon_url, MIN(doc_id) AS keeper, COUNT(*) AS n_variants,
+        |  COUNT(DISTINCT raw_url) AS n_raw
+        |FROM canon GROUP BY 1""".stripMargin,
     "dd_para_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |paras AS (SELECT doc_id, k AS idx,
@@ -1220,6 +1337,22 @@ object PipelineQueries {
         |    - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac
         |FROM n""".stripMargin,
+    "ta_dsir_weight" ->
+      """WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |               FROM documents),
+        |model AS (SELECT w, COUNT(*) AS c_raw,
+        |            SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+        |          FROM words GROUP BY 1 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS rt,
+        |               CAST(SUM(c_tgt) AS DOUBLE) AS tt,
+        |               CAST(COUNT(*) AS DOUBLE) AS v FROM model),
+        |lr AS (SELECT w,
+        |         CAST(round(ln(((CAST(c_tgt AS DOUBLE) + 1.0) / (tt + v)) /
+        |              (CAST(c_raw AS DOUBLE) / rt)) * 1e6) AS BIGINT) AS lr_micro
+        |       FROM model, tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |       CAST(SUM(lr_micro) AS BIGINT) AS dsir_micro_sum
+        |FROM words JOIN lr USING (w) GROUP BY 1""".stripMargin,
     "ta_lm_score" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
         |              FROM documents WHERE len(string_split(text, ' ')) >= 2),

@@ -115,6 +115,22 @@ class QueriesSpec extends SparkTestBase {
     assert(dropped > 0, "corpus must contain real cross-doc duplicate paragraphs")
   }
 
+  test("spot: dd_url_canon folds real variants and leaves no mess in the canonical form") {
+    val got = SparkEntry.queries("dd_url_canon")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(got.map(_._3).sum == n, "groups must cover every doc exactly once")
+    assert(got.exists(_._4 > 1), "canonicalization must fold distinct raw variants")
+    got.foreach { case (u, keeper, nv, nr) =>
+      assert(u == u.toLowerCase, s"canonical url must be lowercase: $u")
+      assert(!u.contains("#") && !u.contains("utm_") && !u.contains(":80") &&
+        !u.contains(":443") && !u.contains("www."), s"residual mess in $u")
+      assert(nv >= nr && keeper >= 0)
+      // params sorted: query part must be a=1&b=2 for this construction
+      assert(u.endsWith("?a=1&b=2"), s"params must be sorted and cleaned: $u")
+    }
+  }
+
   test("spot: ta_split_assign is deterministic, total, and ~90/5/5") {
     val a = SparkEntry.queries("ta_split_assign")(spark, sf)
     val b = SparkEntry.queries("ta_split_assign")(spark, sf)
@@ -195,6 +211,41 @@ class QueriesSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected, "LM scores diverge from the brute-force model")
     assert(got.forall(_._3 <= 0L), "log-probs must be non-positive")
+  }
+
+  test("spot: ta_dsir_weight matches a brute-force mirror and separates the target domain") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // serial mirror of the whole construction
+    val words = docs.flatMap { case (id, lang, text) =>
+      text.split(" ").map(w => (id, lang, w)) }
+    val model = words.groupBy(_._3).view.mapValues { g =>
+      (g.length.toLong, g.count(_._2 == "en").toLong)
+    }.filter(_._2._1 >= 5).toMap
+    val rt = model.values.map(_._1).sum.toDouble
+    val tt = model.values.map(_._2).sum.toDouble
+    val v = model.size.toDouble
+    val lr = model.map { case (w, (cr, ct)) =>
+      w -> math.round(math.log(((ct + 1.0) / (tt + v)) / (cr / rt)) * 1e6) }
+    val expected = words.filter(t => lr.contains(t._3)).groupBy(_._1)
+      .map { case (id, g) => id -> ((g.length.toLong, g.map(t => lr(t._3)).sum)) }
+    val got = SparkEntry.queries("ta_dsir_weight")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id diverges from the serial mirror") }
+    // the weight must actually separate the target domain: mean per-token
+    // score of en docs above that of non-en docs
+    val byLang = docs.map(d => (d._1, d._2)).toMap
+    def meanPerTok(ids: Iterable[Long]): Double = {
+      val xs = ids.flatMap(got.get)
+      xs.map(_._2.toDouble).sum / math.max(1L, xs.map(_._1).sum)
+    }
+    val en = expected.keys.filter(byLang(_) == "en")
+    val rest = expected.keys.filterNot(byLang(_) == "en")
+    assert(meanPerTok(en) > meanPerTok(rest),
+      "en docs must score higher under the en-target importance weight")
   }
 
   test("spot: ta_pii_redact counts are positive and the redacted text is clean") {
