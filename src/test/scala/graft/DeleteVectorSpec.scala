@@ -110,6 +110,27 @@ class DeleteVectorSpec extends SparkTestBase {
     assert(state(table) == expected.values.map(e => (e.url, e.warcTs, e.text, e.lang)).toSet)
   }
 
+  test("streaming front-end replays DV trickle commits to the serial oracle") {
+    // resumed-tail shape: base load, then new WAL segments between drains —
+    // each wave must stack positional vectors, never rewrite its buckets
+    val feed = tmpDir("dvstreamfeed")
+    val table = LakeTable.create(tmpDir("dvstreamtbl"), CdcIngest.PagesSchemaV1, 8)
+    val cfg = IngestConfig(numBuckets = 8, mergeOnRead = true, deleteVectors = true)
+    val ckpt = tmpDir("dvstreamckpt")
+    Seq(500, 1500, 3000).foreach { n =>
+      FeedGen.writeSegments(spec.copy(numEvents = n), feed)
+      graft.ingest.StreamingIngest.run(spark, table, feed, cfg,
+        checkpointDir = Some(ckpt))
+    }
+    val snap = table.currentSnapshot()
+    assert(snap.deleteFiles.nonEmpty &&
+      snap.deleteFiles.forall(_.kind == DeleteFileEntry.Positional),
+      "streamed trickle commits must stack positional vectors")
+    assert(snap.metrics("strategy") == "mor-dv")
+    val expected = FeedGen.expectedState(FeedGen.events(spec))
+    assert(state(table) == expected.values.map(e => (e.url, e.warcTs, e.text, e.lang)).toSet)
+  }
+
   test("time travel below a DV commit ignores later vectors") {
     val table = replay(spec, _.copy(mergeOnRead = true, deleteVectors = true))
     val versions = table.listVersions().sorted

@@ -32,11 +32,12 @@ class PlanSpec extends SparkTestBase {
     * side is the DESIRED plan, not a shuffle. */
   private def shuffleCount(plan: String): Int = {
     // count only the FINAL (post-AQE) plan — the formatted explain repeats
-    // every node in its "Initial Plan" section; node headers print as
-    // "(9) Exchange", and "\bExchange" alone would also match
-    // BroadcastExchange (which is the desired plan, not a shuffle)
+    // every node in its "Initial Plan" section; the negative lookbehind is
+    // load-bearing: tree headers print as "BroadcastExchange (9)", whose
+    // TAIL would otherwise match (a broadcast is the desired plan, not a
+    // shuffle)
     val finalOnly = plan.split(raw"\+- == Initial Plan ==").head
-    raw"Exchange \(\d+\)".r.findAllIn(finalOnly).length
+    raw"(?<!Broadcast)Exchange \(\d+\)".r.findAllIn(finalOnly).length
   }
 
   test("q02: filter and projection are pushed into the parquet scan") {
@@ -103,6 +104,31 @@ class PlanSpec extends SparkTestBase {
       s"file ${f.path} not bucket-scoped"))
     // and the per-file rows from footers sum to the physical row count
     assert(snap.files.map(_.rows).sum == table.readRaw(spark, snap).count())
+  }
+
+  test("DV read: positional vectors apply as a broadcast anti-join, zero shuffles") {
+    val spec = FeedSpec(seed = 92L, numEvents = 2000, numUrls = 300,
+      eventsPerSegment = 500)
+    val dir = tmpDir("dvplanfeed")
+    FeedGen.writeSegments(spec, dir)
+    val table = LakeTable.create(tmpDir("dvplantbl"), CdcIngest.PagesSchemaV1, 8)
+    CdcIngest.run(spark, table, dir, IngestConfig(numBuckets = 8,
+      segmentsPerBatch = 1, mergeOnRead = true, deleteVectors = true))
+    assert(table.currentSnapshot().deleteFiles.nonEmpty)
+    val plan = planString(table.read(spark))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"vector application must be a broadcast anti-join:\n$plan")
+    val n = shuffleCount(plan)
+    assert(n == 0, s"a delete-aware read must add no shuffle, found $n:\n$plan")
+  }
+
+  test("dd_url_canon: per-row canonicalization + one aggregation, no joins") {
+    val plan = planString(SparkEntry.queries("dd_url_canon")(spark, sf))
+    assert(!plan.contains("Join"), s"url canon must not join:\n$plan")
+    val n = shuffleCount(plan)
+    // one shuffle for the group-by; countDistinct(raw_url) legitimately
+    // plans as a two-level aggregate (second level re-keys on canon only)
+    assert(n <= 2, s"url canon grew extra exchanges ($n):\n$plan")
   }
 
   test("ta_repetition: pure per-row projection — zero exchanges") {
