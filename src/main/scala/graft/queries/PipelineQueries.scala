@@ -907,6 +907,48 @@ object PipelineQueries {
           sum(col("logp_micro")).as("logp_micro_sum"))
     }),
 
+    // Web-graph link analysis: 10 power iterations of PageRank (d = 0.85)
+    // over a deterministic synthetic link graph (the corpus has no link
+    // column, so each doc links to (id*7+3)%N, (id*31+11)%N and id%50 —
+    // the last makes docs 0..49 hubs; constructed input, stated openly:
+    // under test are the iterative join/agg computation and cross-engine
+    // exactness, not the graph). EXACT parity construction: ranks live in
+    // integer micro-units; every per-edge contribution is
+    // round(0.85·pr/deg) BEFORE the integer sum, so each iteration maps
+    // integers to integers identically in both engines — the DuckDB
+    // oracle unrolls the same 10 iterations as chained CTEs. Scale shape:
+    // per iteration one join of ranks to edges (both shuffled on the same
+    // key every round — a co-partitioned Pregel superstep) + one
+    // partial-aggregated groupBy(dst); lineage truncated per iteration
+    // (localCheckpoint) exactly like dd_dup_clusters' label propagation.
+    "wg_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"))
+      val nn = docs.agg(count(lit(1)).as("nn"))
+      val edges1 = docs.crossJoin(broadcast(nn))
+        .select(col("id").as("src"), explode(array(
+          col("id") * 7 + 3, col("id") * 31 + 11, col("id") % 50)).as("d0"),
+          col("nn"))
+        .select(col("src"), (col("d0") % col("nn")).as("dst"))
+        .where(col("dst") =!= col("src")).distinct()
+      val deg = edges1.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edges = edges1.join(deg, Seq("src")).localCheckpoint()
+      val nD = docs.count().toDouble
+      val base = math.round(0.15 * 1e6 / nD)
+      var pr = docs.select(col("id"), lit(math.round(1e6 / nD)).as("pr"))
+      for (_ <- 1 to 10) {
+        val contrib = edges.join(pr, edges("src") === pr("id"))
+          .select(col("dst").as("id"),
+            round(lit(0.85) * col("pr") / col("deg")).cast("long").as("c"))
+          .groupBy("id").agg(sum(col("c")).as("c"))
+        pr = docs.join(contrib, Seq("id"), "left_outer")
+          .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("pr"))
+          .localCheckpoint()
+      }
+      pr.join(deg, pr("id") === deg("src"), "left_outer")
+        .select(col("id").as("doc_id"), col("pr").as("pr_micro"),
+          coalesce(col("deg"), lit(0L)).as("out_deg"))
+    }),
+
     // DSIR-style importance weight for data selection (Xie et al. 2023
     // shape): score every doc by how much its unigram distribution looks
     // like a TARGET domain (here the corpus's own lang='en' slice — a
@@ -1115,7 +1157,40 @@ object PipelineQueries {
        |  FROM scored) WHERE rank <= 5""".stripMargin
   }
 
+  /** wg_pagerank oracle: the SAME 10 power iterations unrolled as chained
+    * CTEs (recursive CTEs disallow aggregation in the recursive term) —
+    * per-edge contributions rounded to integer micro-units before each
+    * integer sum, so every iteration is exactly reproducible. */
+  private def pagerankSql: String = {
+    val iters = (1 to 10).map { t =>
+      s"""pr$t AS (SELECT n.id,
+         |    (SELECT b FROM base) + COALESCE(s.c, 0) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(SUM(CAST(round(0.85 * p.pr / e.deg) AS BIGINT)) AS BIGINT) AS c
+         |    FROM edges e JOIN pr${t - 1} p ON p.id = e.src GROUP BY 1) s USING (id))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |edges1 AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT id AS src, (id*7+3) % n AS dst FROM nodes, nn
+       |    UNION ALL SELECT id, (id*31+11) % n FROM nodes, nn
+       |    UNION ALL SELECT id, (id % 50) % n FROM nodes, nn)
+       |  WHERE src <> dst),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges1 GROUP BY 1),
+       |edges AS (SELECT e.src, e.dst, d.deg FROM edges1 e JOIN deg d USING (src)),
+       |base AS (SELECT CAST(round(0.15 * 1e6 / n) AS BIGINT) AS b FROM nn),
+       |pr0 AS (SELECT id,
+       |  (SELECT CAST(round(1e6 / n) AS BIGINT) FROM nn) AS pr FROM nodes),
+       |$iters
+       |SELECT n.id AS doc_id, p.pr AS pr_micro, COALESCE(d.deg, 0) AS out_deg
+       |FROM nodes n JOIN pr10 p USING (id) LEFT JOIN deg d ON d.src = n.id"""
+      .stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "wg_pagerank" -> pagerankSql,
     "dd_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,

@@ -213,6 +213,33 @@ class QueriesSpec extends SparkTestBase {
     assert(got.forall(_._3 <= 0L), "log-probs must be non-positive")
   }
 
+  test("spot: wg_pagerank matches a serial power-iteration mirror; hubs rank highest") {
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val edges = ids.flatMap(i =>
+      Seq((i * 7 + 3) % n, (i * 31 + 11) % n, (i % 50) % n)
+        .filter(_ != i).map(d => (i, d))).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inn = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val base = math.round(0.15 * 1e6 / n)
+    var pr = ids.map(_ -> math.round(1e6 / n.toDouble)).toMap
+    for (_ <- 1 to 10)
+      pr = ids.map(v => v -> (base + inn.getOrElse(v, Array.empty[Long])
+        .map(u => math.round(0.85 * pr(u) / deg(u))).sum)).toMap
+    val got = SparkEntry.queries("wg_pagerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == ids.toSet)
+    ids.foreach { v =>
+      assert(got(v) == ((pr(v), deg.getOrElse(v, 0L))),
+        s"node $v diverges from the serial mirror") }
+    // the id%50 link formula makes docs 0..49 hubs — they must outrank
+    val (hubs, rest) = got.partition(_._1 < 50)
+    assert(hubs.values.map(_._1).sum / hubs.size >
+      3 * (rest.values.map(_._1).sum / rest.size),
+      "hub nodes must clearly outrank non-hubs after 10 iterations")
+  }
+
   test("spot: ta_dsir_weight matches a brute-force mirror and separates the target domain") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang", "text").collect()
