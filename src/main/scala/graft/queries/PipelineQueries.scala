@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // idempotent: every query funnels through here, and the ANN/embedding
+    // family needs the native dot_product expression resolvable
+    graft.functions.DotProductExpr.register(s)
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** md5 hex of a string column (Spark needs an explicit binary cast). */
   private def md5s(c: Column): Column = md5(c.cast("binary"))
@@ -178,9 +182,14 @@ object PipelineQueries {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
 
   /** Left-fold dot product — matches DuckDB's `list_dot_product` term order
-    * exactly (same IEEE additions in the same order on both engines). */
+    * exactly (same IEEE additions in the same order on both engines).
+    * Round 4: the interpreted `aggregate(zip_with(...))` higher-order chain
+    * became the native codegen'd [[graft.functions.DotProductExpr]] — the
+    * SAME strictly-left-to-right sum (bit-identical under the oracle hash),
+    * now a fused loop inside whole-stage codegen instead of a per-row
+    * lambda interpretation over a materialized products array. */
   private def dotC(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductExpr.dot(a, b)
   private def cosC(a: Column, b: Column): Column =
     dotC(a, b) / (sqrt(dotC(a, a)) * sqrt(dotC(b, b)))
   private val CosSql = "list_dot_product(%s, %s) / " +
@@ -597,7 +606,7 @@ object PipelineQueries {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        graft.functions.DotProductExpr.dot(a, b)
       def bandBucket(k: Int): Column =
         (1 to 4).map(i =>
           when(element_at(col("v"), 4 * k + i) >= 0, lit(1 << (i - 1))).otherwise(lit(0)))

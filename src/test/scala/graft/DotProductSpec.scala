@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.DotProductExpr
+
+/** Native codegen'd dot_product vs the higher-order fold it replaced:
+  * bit-identical results (the parity the oracle hash depends on), null /
+  * length-mismatch semantics, and operation under whole-stage codegen. */
+class DotProductSpec extends SparkTestBase with PropHelpers {
+
+  private def foldDot = {
+    import org.apache.spark.sql.Column
+    (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  }
+
+  test("bit-identical to the left-fold on random vectors (codegen path)") {
+    DotProductExpr.register(spark)
+    import spark.implicits._
+    val gen = Gen.listOfN(64, Gen.chooseNum(-1e3, 1e3))
+    // batch the cases into ONE DataFrame: a per-case Spark job would make
+    // the property pass take minutes for no extra coverage
+    val cases = (0 until 30).map { i =>
+      var seed = org.scalacheck.rng.Seed(42L + i)
+      val xs = gen.pureApply(Gen.Parameters.default, seed).toArray
+      val ys = gen.pureApply(Gen.Parameters.default, seed.next).toArray
+      (i, xs, ys)
+    }
+    val df = cases.toDF("i", "a", "b")
+      .select(col("i"), DotProductExpr.dot(col("a"), col("b")).as("native"),
+        foldDot(col("a"), col("b")).as("fold"))
+    df.collect().foreach { r =>
+      // exact bit equality, not approximate: the oracle hash needs it
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"case ${r.getInt(0)} diverges")
+    }
+  }
+
+  test("null array or length mismatch yields null, matching zip_with poisoning") {
+    DotProductExpr.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(3.0))),        // mismatch
+      (None: Option[Array[Double]], Some(Array(1.0))),  // null side
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0)))    // ok
+    ).toDF("a", "b")
+    val out = df.select(DotProductExpr.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out(0).isEmpty && out(1).isEmpty && out(2).contains(11.0))
+  }
+
+  test("runs inside whole-stage codegen over a real scan") {
+    DotProductExpr.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val df = e.select(DotProductExpr.dot(col("v"), col("v")).as("n2"))
+    df.collect().foreach(r => assert(r.getDouble(0) > 0.0))
+    // the "*(n)" prefix is the WholeStageCodegen marker in the compact
+    // tree format — the dot_product projection must carry it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(raw"\*\(\d+\) Project \[dot_product".r.findFirstIn(plan).nonEmpty,
+      s"dot_product projection fell out of codegen:\n$plan")
+  }
+}
