@@ -264,6 +264,49 @@ object CoreQueries {
         sum(when(col("lang") === l, 1L).otherwise(0L)).as(l))
       t(s, dir, "documents")
         .groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // ordered-sequence funnel: per user, first signup then first purchase
+    // AT OR AFTER it; converted = within the hour. ONE shuffle: the
+    // conditional min-over-window shares its user partitioning with the
+    // groupBy that follows, so Spark plans a single exchange. Timestamps
+    // compared/emitted as epoch MICROS longs — exact in both engines
+    // (unix_micros / epoch_us), no float or truncation anywhere.
+    "q23_funnel" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          // events.ts is TIMESTAMP_NTZ; cast under the UTC session resolves
+          // to the same instant DuckDB's epoch_us reads from the naive value
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("su",
+          min(when(col("event_type") === "signup", col("us"))).over(w))
+        .where(col("su").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(col("su")).as("signup_us"),
+          min(when(col("event_type") === "purchase" && col("us") >= col("su"),
+            col("us"))).as("purchase_us"))
+        .select(col("user_id"), col("signup_us"),
+          (col("purchase_us") - col("signup_us")).as("wait_us"),
+          (col("purchase_us").isNotNull &&
+            col("purchase_us") - col("signup_us") <= 3600000000L).as("converted"))
+    }),
+
+    // weekly cohort retention: cohort = a user's first active week (exact
+    // integer week = floor(epoch_us / 7 days) — no calendar/locale
+    // semantics to diverge between engines), cell (cohort, offset) =
+    // distinct users active offset weeks later. The classic growth-
+    // analytics triangle as two aggregations over one pass of events.
+    "q24_retention" -> ((s, dir) => {
+      val weeks = t(s, dir, "events")
+        .select(col("user_id"),
+          floor(unix_micros(col("ts").cast("timestamp")) / 604800000000L).as("wk"))
+        .distinct()
+      val cohort = weeks.groupBy("user_id").agg(min(col("wk")).as("cw"))
+      weeks.join(cohort, Seq("user_id"))
+        .groupBy(col("cw").as("cohort_week"),
+          (col("wk") - col("cw")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
     })
   )
 
@@ -390,6 +433,25 @@ object CoreQueries {
         | COUNT(*) FILTER (lang = 'es') AS es,
         | COUNT(*) FILTER (lang = 'fr') AS fr,
         | COUNT(*) FILTER (lang = 'zh') AS zh
-        |FROM documents GROUP BY source""".stripMargin
+        |FROM documents GROUP BY source""".stripMargin,
+    "q23_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |su AS (SELECT user_id, MIN(us) AS signup_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, MIN(e.us) AS purchase_us
+        |       FROM e JOIN su USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us >= su.signup_us
+        |       GROUP BY 1)
+        |SELECT su.user_id, su.signup_us,
+        |  pu.purchase_us - su.signup_us AS wait_us,
+        |  COALESCE(pu.purchase_us - su.signup_us <= 3600000000, FALSE) AS converted
+        |FROM su LEFT JOIN pu USING (user_id)""".stripMargin,
+    "q24_retention" ->
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS wk FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cw FROM weeks GROUP BY 1)
+        |SELECT cw AS cohort_week, wk - cw AS week_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM weeks JOIN cohort USING (user_id) GROUP BY 1, 2""".stripMargin
   )
 }
