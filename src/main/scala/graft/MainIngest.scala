@@ -37,7 +37,7 @@ object MainIngest {
         |  MainIngest init   <tableDir> [numBuckets]
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets] [maxFileRows] [--mor [--dv]]
         |  MainIngest stream <tableDir> <feedDir> [checkpointDir] [mviewDir] [--mor [--dv]]
-        |  MainIngest compact <tableDir> [tombstoneHorizonIso] [minFilesPerBucket] [maxFileRows]
+        |  MainIngest compact <tableDir> [--cluster col,col] [tombstoneHorizonIso] [minFilesPerBucket] [maxFileRows]
         |  MainIngest rebucket <tableDir> <newBuckets> [maxFileRows]
         |  MainIngest expire  <tableDir> <keepLastSnapshots>
         |  MainIngest lookup  <tableDir> <url> [url...]
@@ -157,7 +157,16 @@ object MainIngest {
     // only buckets holding at least that many files are rewritten — the
     // routine maintenance shape at scale, where a full-table rewrite of
     // well-compacted buckets would be 100 TB of wasted IO.
-    case "compact" :: tableDir :: rest =>
+    case "compact" :: tableDir :: rest0 =>
+      // --cluster col[,col]: clustering sort order for the rewrite (the
+      // lever that makes generalized column-bound pruning effective)
+      val clusterBy = rest0.sliding(2).collectFirst {
+        case Seq("--cluster", cols) => cols.split(',').toSeq.filter(_.nonEmpty)
+      }.getOrElse(Seq.empty)
+      val rest = {
+        val i = rest0.indexOf("--cluster")
+        if (i < 0) rest0 else rest0.patch(i, Nil, 2)
+      }
       // numeric args: first = minFilesPerBucket, second = maxFileRows; any
       // non-numeric arg must be an ISO-8601 horizon (parse fails LOUDLY —
       // a mistyped horizon must never be silently reinterpreted)
@@ -191,10 +200,12 @@ object MainIngest {
           "(data + delete)")
         spark.stop(); sys.exit(0)
       }
-      val snap = CdcIngest.compact(spark, table, horizon, buckets, maxFileRows)
+      val snap = CdcIngest.compact(spark, table, horizon, buckets, maxFileRows,
+        clusterBy = clusterBy)
       println(s"compacted $before -> ${snap.files.size} files at v${snap.version}" +
         buckets.map(bs => s" (${bs.size} long-tail buckets)").getOrElse("") +
-        horizon.map(h => s" (tombstones before $h dropped)").getOrElse(""))
+        horizon.map(h => s" (tombstones before $h dropped)").getOrElse("") +
+        (if (clusterBy.nonEmpty) s" (clustered by ${clusterBy.mkString(",")})" else ""))
       spark.stop()
 
     // partition-spec evolution: grow (or shrink) the url-hash bucket count;

@@ -1011,7 +1011,14 @@ object CdcIngest {
       tombstoneBefore: Option[java.sql.Timestamp] = None,
       buckets: Option[Set[Int]] = None,
       maxFileRows: Long = 0L,
-      beforeCommit: () => Unit = () => ()): Snapshot = {
+      beforeCommit: () => Unit = () => (),
+      // Clustering columns (Iceberg rewrite sort-order analog): sort each
+      // bucket by these BEFORE the time sort, so with a maxFileRows split
+      // every rolled file covers a tight range of the cluster key and the
+      // manifest's generalized column bounds (filesInColRange) actually
+      // prune — on a time-sorted-only layout a key like `lang` spans every
+      // file and zone maps on it are vacuous.
+      clusterBy: Seq[String] = Seq.empty): Snapshot = {
     val snap = table.currentSnapshot()
     val targetBuckets = buckets.getOrElse((0 until snap.numBuckets).toSet)
     val srcFiles = snap.files.filter(f => targetBuckets(f.bucket))
@@ -1032,7 +1039,9 @@ object CdcIngest {
       .repartition(snap.numBuckets, col("url")) // partitioning == bucket id
       // leading BucketCol satisfies the partitioned write's required
       // ordering, so FileFormatWriter adds NO extra sort of its own
-      .sortWithinPartitions(col(LakeTable.BucketCol), col("warc_ts"), col("url"))
+      .sortWithinPartitions(
+        (col(LakeTable.BucketCol) +: clusterBy.map(col)) ++
+          Seq(col("warc_ts"), col("url")): _*)
       .write).partitionBy(LakeTable.BucketCol).mode("overwrite")
     withMicrosTimestamps(spark) {
       (if (maxFileRows > 0) w.option("maxRecordsPerFile", maxFileRows) else w)
@@ -1308,9 +1317,10 @@ object CdcIngest {
         val name = f"s$version%08d$nameTag%s-b$bucket%05d-$i%03d.parquet"
         val dest = table.dataDir.resolve(name)
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        val (rows, tsRange) = parquetFooterInfo(dest, conf)
+        val (rows, tsRange, colStats) = parquetFooterAll(dest, conf)
         DataFileEntry(table.root.relativize(dest).toString, bucket, rows, Files.size(dest),
-          tsRange.map(_._1), tsRange.map(_._2), addedVersion = version)
+          tsRange.map(_._1), tsRange.map(_._2), addedVersion = version,
+          colStats = colStats)
       }
     }}
     val entries = Await.result(Future.sequence(entryFutures), Duration.Inf).flatten
@@ -1330,6 +1340,23 @@ object CdcIngest {
     * bound; all-null row groups simply contribute nothing. */
   def parquetFooterInfo(p: Path, conf: org.apache.hadoop.conf.Configuration)
       : (Long, Option[(Long, Long)]) = {
+    val (rows, ts, _) = parquetFooterAll(p, conf)
+    (rows, ts)
+  }
+
+  /** One footer open → (row count, warc_ts zone map, generalized column
+    * bounds). The zone-map rules from [[parquetFooterInfo]]'s scaladoc
+    * carry over; the generalized bounds ([[graft.lake.ColStat]], the
+    * Iceberg lower/upper-bounds analog) are harvested for every primitive
+    * leaf column EXCEPT warc_ts (specialized above), system columns, and
+    * strings over 64 chars (a min/max of document texts would bloat the
+    * manifest for columns no one range-filters). Any row group with a
+    * missing statistics object degrades that column to absent — never to
+    * a wrong bound. */
+  def parquetFooterAll(p: Path, conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Option[(Long, Long)], Map[String, graft.lake.ColStat]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -1338,11 +1365,14 @@ object CdcIngest {
       var mn = Long.MaxValue
       var mx = Long.MinValue
       var usable = true
+      // per-column accumulators: typ, min, max; dropped on first bad block
+      val acc = scala.collection.mutable.Map.empty[String, graft.lake.ColStat]
+      val dead = scala.collection.mutable.Set.empty[String]
+      val skip = Set("warc_ts", LakeTable.SeqCol, LakeTable.DeletedCol)
       rd.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.find(_.getPath.toDotString == "warc_ts") match {
           case Some(cc)
-              if cc.getPrimitiveType.getPrimitiveTypeName ==
-                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
+              if cc.getPrimitiveType.getPrimitiveTypeName == INT64 =>
             val st = cc.getStatistics
             if (st == null) usable = false
             else if (st.hasNonNullValue) {
@@ -1351,8 +1381,51 @@ object CdcIngest {
             } // all-null row group: contributes nothing, stays usable
           case _ => usable = false // absent column or INT96: no zone map
         }
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (!skip(name) && !dead(name) && cc.getPath.size == 1) {
+            val pt = cc.getPrimitiveType
+            val isStr = pt.getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            val st = cc.getStatistics
+            val typ = pt.getPrimitiveTypeName match {
+              case INT32 | INT64  => Some("long")
+              case FLOAT | DOUBLE => Some("double")
+              case BINARY if isStr => Some("string")
+              case _ => None
+            }
+            (typ, Option(st)) match {
+              case (Some(t), Some(s)) if s.hasNonNullValue =>
+                val (lo, hi) = t match {
+                  case "long" => (s.genericGetMin.asInstanceOf[Number].longValue.toString,
+                    s.genericGetMax.asInstanceOf[Number].longValue.toString)
+                  case "double" => (s.genericGetMin.asInstanceOf[Number].doubleValue.toString,
+                    s.genericGetMax.asInstanceOf[Number].doubleValue.toString)
+                  case _ =>
+                    (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .toStringUsingUTF8,
+                      s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                        .toStringUsingUTF8)
+                }
+                if (t == "string" && (lo.length > 64 || hi.length > 64)) {
+                  dead += name; acc.remove(name)
+                } else acc.get(name) match {
+                  case None => acc(name) = graft.lake.ColStat(t, lo, hi)
+                  case Some(prev) =>
+                    def lower(a: String, b: String) =
+                      if (LakeTable.statOrder(t, a, b) <= 0) a else b
+                    def upper(a: String, b: String) =
+                      if (LakeTable.statOrder(t, a, b) >= 0) a else b
+                    acc(name) = graft.lake.ColStat(t,
+                      lower(prev.min, lo), upper(prev.max, hi))
+                }
+              case (Some(_), Some(s)) if !s.hasNonNullValue => // all-null block: nothing
+              case _ => dead += name; acc.remove(name)
+            }
+          }
+        }
       }
-      (rows, if (usable && mn <= mx) Some((mn, mx)) else None)
+      (rows, if (usable && mn <= mx) Some((mn, mx)) else None, acc.toMap)
     } finally rd.close()
   }
 

@@ -23,9 +23,18 @@ import org.apache.spark.sql.types._
   * or footers without usable statistics): such files are always kept by
   * [[LakeTable.filesInRange]], so the feature degrades to a full plan,
   * never a wrong one. */
+/** Per-file column bounds (Iceberg lower/upper-bounds analog), harvested
+  * from the parquet footer at move time — zero extra IO. `typ` is the
+  * comparison domain: "long" (INT32/INT64), "double" (FLOAT/DOUBLE) or
+  * "string" (UTF-8 BINARY; values over 64 chars are not recorded — a
+  * min/max of full document texts would bloat the manifest for columns
+  * that no one range-filters). Files whose footer lacks usable statistics
+  * for a column simply omit it and are never pruned on it. */
+final case class ColStat(typ: String, min: String, max: String)
+
 final case class DataFileEntry(path: String, bucket: Int, rows: Long, sizeBytes: Long = 0L,
     tsMinMicros: Option[Long] = None, tsMaxMicros: Option[Long] = None,
-    addedVersion: Long = 0L)
+    addedVersion: Long = 0L, colStats: Map[String, ColStat] = Map.empty)
 
 /** A merge-on-read delete file, in one of two formats:
   *
@@ -118,7 +127,13 @@ final class LakeTable(val root: Path) {
           Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(0L),
           Option(f.get("tsMinMicros")).map(_.asLong()),
           Option(f.get("tsMaxMicros")).map(_.asLong()),
-          Option(f.get("addedVersion")).map(_.asLong()).getOrElse(0L))
+          Option(f.get("addedVersion")).map(_.asLong()).getOrElse(0L),
+          Option(f.get("colStats")).map { cs =>
+            cs.fields().asScala.map { e =>
+              e.getKey -> ColStat(e.getValue.get("t").asText(),
+                e.getValue.get("min").asText(), e.getValue.get("max").asText())
+            }.toMap
+          }.getOrElse(Map.empty))
       }.toSeq,
       lineage = node.get("lineage").elements().asScala.map(jsonToMap).toSeq,
       metrics = jsonToMap(node.get("metrics")),
@@ -626,6 +641,51 @@ final class LakeTable(val root: Path) {
       .select(cols: _*)
   }
 
+  private def statCompare(typ: String, a: String, b: String): Int =
+    LakeTable.statOrder(typ, a, b)
+
+  /** Manifest-only file pruning on ANY column with harvested bounds (the
+    * generalized twin of [[filesInRange]]'s warc_ts zone maps — Iceberg's
+    * lower/upper-bounds planning): keep files whose [min,max] for `column`
+    * overlaps [lo,hi] (None = unbounded side). A file with no recorded
+    * stat for the column is ALWAYS kept — pruning degrades to correct,
+    * never to wrong. Pruning has teeth only when the data is clustered on
+    * the column (see compact's `clusterBy`): time-sorted files scatter
+    * e.g. `lang` across every file, clustered ones give each file a tight
+    * range. Bounds are passed in the stat's string domain ("long" /
+    * "double" stats compare numerically). */
+  def filesInColRange(snap: Snapshot, column: String,
+      lo: Option[String], hi: Option[String]): Seq[DataFileEntry] =
+    snap.files.filter { f =>
+      f.colStats.get(column).forall { st =>
+        lo.forall(l => statCompare(st.typ, st.max, l) >= 0) &&
+          hi.forall(h => statCompare(st.typ, st.min, h) <= 0)
+      }
+    }
+
+  /** Predicate-pruned live read on a stats-carrying column: plan the file
+    * set from the manifest ([[filesInColRange]]), then apply the residual
+    * filter row-wise. Not for `warc_ts` (use [[readRange]] — its stat is
+    * micros, not the column's external type). */
+  def readColRange(spark: SparkSession, column: String,
+      lo: Option[String], hi: Option[String]): DataFrame = {
+    val snap = currentSnapshot()
+    val cols = snap.schema.fieldNames.map(col).toSeq
+    val sel = filesInColRange(snap, column, lo, hi)
+    val raw = readFiles(spark, physicalSchema(snap), sel,
+      snap.deleteFiles.filter(d => sel.exists(_.bucket == d.bucket)))
+    val dt = snap.schema(column).dataType
+    val c = col(column)
+    val live = raw.filter(!col(DeletedCol))
+    val bounded = (lo, hi) match {
+      case (Some(l), Some(h)) => live.filter(c >= lit(l).cast(dt) && c <= lit(h).cast(dt))
+      case (Some(l), None)    => live.filter(c >= lit(l).cast(dt))
+      case (None, Some(h))    => live.filter(c <= lit(h).cast(dt))
+      case (None, None)       => live
+    }
+    bounded.select(cols: _*)
+  }
+
   /** Expire old snapshots (Iceberg `expire_snapshots` analog): keep the
     * newest `keepLast` versions, delete the older manifests, then delete
     * data files referenced ONLY by expired snapshots. A file shared with any
@@ -799,6 +859,12 @@ object LakeTable {
   val SeqCol = "_seq"
   val DeletedCol = "_deleted"
   val BucketCol = "_bucket"
+  /** Total order within one [[ColStat]] comparison domain. */
+  def statOrder(typ: String, a: String, b: String): Int = typ match {
+    case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _        => a.compareTo(b)
+  }
   /** Read schema of an equality-delete file: just the key. */
   val DeleteFileSchema: StructType =
     StructType(Seq(StructField("url", StringType, nullable = false)))
@@ -866,6 +932,13 @@ object LakeTable {
       f.tsMinMicros.foreach(fn.put("tsMinMicros", _))
       f.tsMaxMicros.foreach(fn.put("tsMaxMicros", _))
       fn.put("addedVersion", f.addedVersion)
+      if (f.colStats.nonEmpty) {
+        val cs = fn.putObject("colStats")
+        f.colStats.toSeq.sortBy(_._1).foreach { case (c, st) =>
+          val o = cs.putObject(c)
+          o.put("t", st.typ); o.put("min", st.min); o.put("max", st.max)
+        }
+      }
     }
     if (s.deleteFiles.nonEmpty) {
       val dels = node.putArray("deleteFiles")
