@@ -47,6 +47,7 @@ object MainIngest {
         |  MainIngest audit   <tableDir>
         |  MainIngest publish <tableDir>
         |  MainIngest discard <tableDir>
+        |  MainIngest where   <tableDir> <column> <lo|-> <hi|->
         |  MainIngest promote <tableDir> <column> <ddlType>
         |  MainIngest tag     <tableDir> <name> [version]
         |  MainIngest tags    <tableDir>
@@ -318,6 +319,22 @@ object MainIngest {
       val table = LakeTable.load(tableDir)
       val dropped = table.discardStaged()
       println(s"discarded staged candidate (${dropped.size} files removed)")
+
+    // manifest-planned predicate read over the generalized column bounds:
+    // `where <t> <col> <lo> <hi>` ('-' = unbounded side); prints the
+    // pruning ratio so the clustering payoff is visible operationally
+    case "where" :: tableDir :: column :: lo :: hi :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val table = LakeTable.load(tableDir)
+      val snap = table.currentSnapshot()
+      def b(s: String) = if (s == "-") None else Some(s)
+      val sel = table.filesInColRange(snap, column, b(lo), b(hi))
+      println(s"manifest pruning: ${sel.size} of ${snap.files.size} files planned")
+      val df = table.readColRange(spark, column, b(lo), b(hi))
+      println(s"rows: ${df.count()}")
+      df.show(10, 60)
+      spark.stop()
 
     // type promotion (ALTER TABLE … TYPE): metadata-only widening along
     // the promotion matrix; old files upcast at scan time
