@@ -131,6 +131,12 @@ class PlanSpec extends SparkTestBase {
     assert(n <= 2, s"url canon grew extra exchanges ($n):\n$plan")
   }
 
+  test("q23_funnel: window and groupBy share one user_id exchange") {
+    val plan = planString(SparkEntry.queries("q23_funnel")(spark, sf))
+    val n = shuffleCount(plan)
+    assert(n == 1, s"funnel must reuse the window's partitioning, found $n:\n$plan")
+  }
+
   test("ta_repetition: pure per-row projection — zero exchanges") {
     val plan = planString(SparkEntry.queries("ta_repetition")(spark, sf))
     val n = shuffleCount(plan)
