@@ -328,6 +328,11 @@ object MainIngest {
       spark.sparkContext.setLogLevel("WARN")
       val table = LakeTable.load(tableDir)
       val snap = table.currentSnapshot()
+      if (!snap.schema.fieldNames.contains(column)) {
+        System.err.println(s"no such column '$column'; table has: " +
+          snap.schema.fieldNames.mkString(", "))
+        spark.stop(); sys.exit(2)
+      }
       def b(s: String) = if (s == "-") None else Some(s)
       val sel = table.filesInColRange(snap, column, b(lo), b(hi))
       println(s"manifest pruning: ${sel.size} of ${snap.files.size} files planned")
