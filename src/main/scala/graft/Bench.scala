@@ -670,6 +670,30 @@ object Bench {
     println(json) // bare: run/outputStrategy is StdoutOutput (no [info] prefix)
     try Files.writeString(java.nio.file.Paths.get(artifactDir, "BENCH_LATEST.json"), json + "\n")
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LATEST write failed: $e") }
+    // Compact summary — the LAST JSON line on stdout, guaranteed ≤ ~1 KB so
+    // a harness that keeps only the final ~2000 chars of output still holds
+    // one complete parseable object (the full line above is ~3 KB and its
+    // head falls outside such a window; four rounds of `parsed: null` were
+    // exactly that truncation). Full per-query detail stays in the full
+    // line + BENCH_LATEST.json. The 2-core executor pair is reported as
+    // informational: it straddles the ≥0.8 gate across runs with measured
+    // co-tenancy flags (see BENCH.md); the gate metric is the 1-core pair.
+    val compact =
+      s"""{"metric":"change_apply_events_per_sec","value":${j(epsHigh, 0)},""" +
+        s""""unit":"events/sec","sf":"$sfDir","events":$events,""" +
+        s""""queries_total_sec":${fnum(totalQ, 2)},"n_queries":${results.size},""" +
+        s""""eps_32":${j(eps(cpus.toString), 0)},""" +
+        (if (skipExec) "" else
+          s""""executor_pair":{"n_executors":1,"n4_executors":4,"cores_each":1,""" +
+            s""""t_n_sec":${j(t("1x1"))},"t_4n_sec":${j(t("4x1"))},""" +
+            s""""efficiency":${j(effExecPair, 3)},""" +
+            s""""cpu_inflation_4x":${j(ratio(cpuOf("4x1"), cpuOf("1x1")))}},""" +
+          s""""executor_pair_2core":{"efficiency":${j(effExecPair2, 3)},""" +
+            s""""cpu_inflation_4x":${j(ratio(cpuOf("4x2"), cpuOf("1x2")))},""" +
+            s""""informational":true},""" +
+          s""""bus_probe_ceiling":${j(busInflation.map(1.0 / _), 3)},""") +
+        s""""ann_recall_at5":$recallJson,"detail":"BENCH_LATEST.json"}"""
+    println(compact)
 
     // ---- human-readable scaling report ----
     // rows joined with "\n|": stripMargin strips exactly one "|" from the

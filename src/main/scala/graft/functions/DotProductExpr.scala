@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
   * 0,1,2,… — the exact IEEE addition order of both the replaced fold and
   * DuckDB's `list_dot_product`, so every query result stays bit-identical
   * under the driver's hash gate (the same reason the fold was written
-  * left-first). Null semantics match the fold it replaces: a null array or
-  * a length mismatch (zip_with would pad-null and poison the sum) yields
-  * null; our embeddings are fixed-dim so neither occurs in data.
+  * left-first). Null semantics match the fold it replaces: a null array, a
+  * length mismatch (zip_with would pad-null and poison the sum), or a null
+  * ELEMENT (zip_with's product is null, and the aggregate's `acc + null`
+  * poisons the whole sum) all yield null. The element check is compiled
+  * out when both input types declare `containsNull = false`; our
+  * embeddings are fixed-dim and dense so none of the three occurs in data.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,14 +44,26 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
+  /** True when either input MAY hold null elements (per its type); only
+    * then do eval/codegen pay the per-element null branch. */
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val checkNulls = mayHaveNullElements
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -57,6 +72,10 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -64,9 +83,10 @@ case class DotProductExpr(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $acc += $x.getDouble($i) * $y.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -697,6 +697,22 @@ object CdcIngest {
     }
     val snap = table.currentSnapshot()
     mark("read-snapshot")
+    // WAP is a serial gate: a normal commit while a candidate is staged
+    // would (a) advance the table so publishStaged can only refuse, and
+    // (b) before staged files carried unique name tags, silently replace
+    // them via same-name ATOMIC_MOVE — after which the documented recovery
+    // path (discardStaged) deleted the COMMITTED snapshot's live data.
+    // Fail fast instead: the operator must publish or discard first.
+    if (!stageOnly) table.stagedSnapshot().foreach { s =>
+      throw new IllegalStateException(
+        s"refusing to commit while a staged candidate exists at v${s.version} " +
+          s"(batch ${s.batchId}): publish or discard it first")
+    }
+    // Staged data/delete files get a unique name tag (as compaction does
+    // with -c<uuid>) so they can NEVER collide with a commit's s{v}-…
+    // names even if the serial gate above is bypassed out-of-band.
+    val wapTag =
+      if (stageOnly) s"-w${java.util.UUID.randomUUID().toString.take(8)}" else ""
     val segFrom = segments.map(_._1).min
     val segTo = segments.map(_._1).max
     if (segTo <= snap.watermarkSegment) return snap // already applied
@@ -781,7 +797,7 @@ object CdcIngest {
           .parquet(tmpDir.toString)
       }
       mark("merge+write")
-      val files = moveDataFiles(spark, table, tmpDir, newVersion)
+      val files = moveDataFiles(spark, table, tmpDir, newVersion, wapTag)
       mark("move+footers")
       files
     }
@@ -867,14 +883,14 @@ object CdcIngest {
                   if (config.deleteVectors)
                     writeDeletionVectors(
                       spark, table, snap, changed, touched, numBuckets,
-                      newVersion, dataFiles.map(_.rows).sum)
+                      newVersion, dataFiles.map(_.rows).sum, wapTag)
                   else {
                     val delTmp = table.root.resolve(
                       s".tmp-del-${java.util.UUID.randomUUID()}")
                     changed.select(col("url"), col(LakeTable.BucketCol))
                       .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
                       .parquet(delTmp.toString)
-                    moveDataFiles(spark, table, delTmp, newVersion, "-del")
+                    moveDataFiles(spark, table, delTmp, newVersion, s"$wapTag-del")
                       .map(f => graft.lake.DeleteFileEntry(
                         f.path, f.bucket, f.rows, f.sizeBytes, newVersion))
                   }
@@ -1257,7 +1273,8 @@ object CdcIngest {
       touched: Set[Int],
       numBuckets: Int,
       newVersion: Long,
-      changedRows: Long): Seq[graft.lake.DeleteFileEntry] = {
+      changedRows: Long,
+      nameTag: String = ""): Seq[graft.lake.DeleteFileEntry] = {
     val touchedFiles = snap.files.filter(f => touched.contains(f.bucket))
     if (touchedFiles.isEmpty) return Seq.empty
     val keyOnly = StructType(Seq(StructField("url", StringType)))
@@ -1285,7 +1302,7 @@ object CdcIngest {
       .select("_dfname", "_dpos", LakeTable.BucketCol)
       .write.partitionBy(LakeTable.BucketCol).mode("overwrite")
       .parquet(dvTmp.toString)
-    moveDataFiles(spark, table, dvTmp, newVersion, "-dv")
+    moveDataFiles(spark, table, dvTmp, newVersion, s"$nameTag-dv")
       .map(f => graft.lake.DeleteFileEntry(f.path, f.bucket, f.rows, f.sizeBytes,
         newVersion, kind = graft.lake.DeleteFileEntry.Positional))
   }
@@ -1387,9 +1404,23 @@ object CdcIngest {
             val pt = cc.getPrimitiveType
             val isStr = pt.getLogicalTypeAnnotation
               .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            // An INT32/INT64 with a logical annotation (timestamp micros,
+            // date, int-backed decimal, unsigned int) stores PHYSICAL
+            // values whose domain differs from the external Spark type
+            // that readColRange casts user bounds into — recording them as
+            // "long" would compare micros/days/unscaled values against
+            // user-domain bounds and silently prune files that contain
+            // matching rows. Only unannotated or signed-int annotations
+            // keep the plain-integer domain; everything else records no
+            // stat, so pruning degrades to correct, never to wrong.
+            val plainInt = pt.getLogicalTypeAnnotation match {
+              case null => true
+              case a: LogicalTypeAnnotation.IntLogicalTypeAnnotation => a.isSigned
+              case _ => false
+            }
             val st = cc.getStatistics
             val typ = pt.getPrimitiveTypeName match {
-              case INT32 | INT64  => Some("long")
+              case INT32 | INT64 if plainInt => Some("long")
               case FLOAT | DOUBLE => Some("double")
               case BINARY if isStr => Some("string")
               case _ => None

@@ -295,8 +295,16 @@ final class LakeTable(val root: Path) {
   def discardStaged(): Seq[Path] = {
     val snap = stagedSnapshot().getOrElse(
       throw new IllegalStateException("nothing staged"))
+    // Never delete a path a COMMITTED snapshot references (same walk
+    // orphanFiles does): if an out-of-band commit ever landed files under
+    // the candidate's names (impossible for candidates staged with unique
+    // -w tags, but cheap to guarantee by construction), those paths now
+    // carry live data and discarding the candidate must not destroy it.
+    val committedRefs = listVersions().map(readSnapshot)
+      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     val added = (snap.files.filter(_.addedVersion == snap.version).map(_.path) ++
       snap.deleteFiles.filter(_.addedVersion == snap.version).map(_.path))
+      .filterNot(committedRefs.contains)
     // manifest first: a crash mid-discard leaves only invisible orphans
     Files.deleteIfExists(stagedPath(snap.version))
     added.map { rel =>
@@ -859,11 +867,19 @@ object LakeTable {
   val SeqCol = "_seq"
   val DeletedCol = "_deleted"
   val BucketCol = "_bucket"
-  /** Total order within one [[ColStat]] comparison domain. */
+  /** Total order within one [[ColStat]] comparison domain. Strings compare
+    * in unsigned UTF-8 BYTE order — the order the parquet footer's binary
+    * min/max stats were selected in AND the order Spark's residual filter
+    * compares UTF8String values in. `String.compareTo` (UTF-16 code units)
+    * diverges from both for supplementary characters vs U+E000–U+FFFF,
+    * which would let [[filesInColRange]] silently prune a file that
+    * contains matching rows. */
   def statOrder(typ: String, a: String, b: String): Int = typ match {
     case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _        => a.compareTo(b)
+    case _ => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
   /** Read schema of an equality-delete file: just the key. */
   val DeleteFileSchema: StructType =

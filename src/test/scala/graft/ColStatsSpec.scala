@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.feed.{FeedGen, FeedSpec}
@@ -54,6 +56,50 @@ class ColStatsSpec extends SparkTestBase {
     val reread = table.readSnapshot(snap.version)
     assert(reread.files.map(f => f.path -> f.colStats).toMap ==
       snap.files.map(f => f.path -> f.colStats).toMap)
+  }
+
+  test("annotated INT32/INT64 columns (timestamp/date) record no stat — prune-correct, never prune-wrong") {
+    // an annotated physical int stores micros/days, but readColRange casts
+    // user bounds into the EXTERNAL domain — recording them as "long"
+    // would compare micros against user values and prune wrongly
+    val dir = tmpDir("csann")
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Date.valueOf("2024-01-01")),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+        java.sql.Date.valueOf("2024-06-01"))
+    ).toDF("plain", "event_ts", "event_date")
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try df.coalesce(1).write.mode("overwrite").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val pFile = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    val (_, _, stats) = CdcIngest.parquetFooterAll(pFile,
+      spark.sessionState.newHadoopConf())
+    assert(stats.get("plain").exists(s => s.typ == "long" && s.min == "1" && s.max == "2"))
+    assert(!stats.contains("event_ts"),
+      s"annotated TIMESTAMP_MICROS int must record no stat: $stats")
+    assert(!stats.contains("event_date"),
+      s"annotated DATE int must record no stat: $stats")
+  }
+
+  test("string statOrder is unsigned UTF-8 byte order, matching parquet stats and UTF8String") {
+    // U+1F600 (UTF-8 F0 9F 98 80) vs U+E000 (UTF-8 EE 80 80): UTF-16
+    // code-unit order says emoji < private-use (D83D < E000); byte order
+    // says emoji > private-use — the divergence that mis-pruned files
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    assert(emoji.compareTo(pua) < 0, "sanity: UTF-16 order diverges here")
+    assert(LakeTable.statOrder("string", emoji, pua) > 0,
+      "statOrder must follow UTF-8 byte order")
+    assert(LakeTable.statOrder("string", "abc", "abd") < 0)
+    assert(LakeTable.statOrder("string", "abc", "abc") == 0)
+    assert(LakeTable.statOrder("string", "ab", "abc") < 0)
   }
 
   test("clusterBy compaction makes lang bounds tight and pruning real") {

@@ -52,6 +52,38 @@ class DotProductSpec extends SparkTestBase with PropHelpers {
     assert(out(0).isEmpty && out(1).isEmpty && out(2).contains(11.0))
   }
 
+  test("null ELEMENT poisons the sum to null, matching the fold (both paths)") {
+    DotProductExpr.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq[Option[Double]](Some(1.0), None, Some(2.0)),
+          Seq[Option[Double]](Some(3.0), Some(4.0), Some(5.0))),
+      (1, Seq[Option[Double]](Some(1.0), Some(2.0)),
+          Seq[Option[Double]](Some(3.0), None)),
+      (2, Seq[Option[Double]](Some(1.0), Some(2.0)),
+          Seq[Option[Double]](Some(3.0), Some(4.0)))
+    ).toDF("i", "a", "b")
+    val out = df.select(col("i"),
+        DotProductExpr.dot(col("a"), col("b")).as("native"),
+        foldDot(col("a"), col("b")).as("fold"))
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    out.foreach { case (i, native, fold) =>
+      assert(native == fold, s"case $i: native=$native fold=$fold") }
+    assert(out(0)._2.isEmpty && out(1)._2.isEmpty && out(2)._2.contains(11.0))
+    // interpreted path too (eval, not codegen)
+    val expr = DotProductExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[java.lang.Double](1.0, null), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[java.lang.Double](2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true)))
+    assert(expr.eval(null) == null)
+  }
+
   test("runs inside whole-stage codegen over a real scan") {
     DotProductExpr.register(spark)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -91,6 +91,54 @@ class WapSpec extends SparkTestBase {
     assert(table.stagedSnapshot().isEmpty && table.orphanFiles().isEmpty)
   }
 
+  test("a normal ingest refuses while a candidate is staged (WAP serial gate)") {
+    val (table, feed) = setup()
+    CdcIngest.stageNext(spark, table, feed,
+      IngestConfig(numBuckets = 8, segmentsPerBatch = 1))
+    // before this gate, the commit computed the SAME next version, its
+    // same-name ATOMIC_MOVE silently replaced the staged data files, and a
+    // later discardStaged deleted the committed snapshot's live data
+    val e = intercept[IllegalStateException](CdcIngest.applyBatch(
+      spark, table, CdcIngest.listSegments(feed).slice(1, 2),
+      IngestConfig(numBuckets = 8)))
+    assert(e.getMessage.contains("staged candidate"))
+    // recovery: discard, then the same batch ingests normally and the
+    // final state equals a straight replay of the same prefix
+    table.discardStaged()
+    CdcIngest.applyBatch(spark, table,
+      CdcIngest.listSegments(feed).slice(1, 2), IngestConfig(numBuckets = 8))
+    val twin = LakeTable.create(tmpDir("waptwin2"), CdcIngest.PagesSchemaV1, 8)
+    CdcIngest.listSegments(feed).take(2).foreach(sg =>
+      CdcIngest.applyBatch(spark, twin, Seq(sg), IngestConfig(numBuckets = 8)))
+    assert(state(table.read(spark)) == state(twin.read(spark)))
+    assert(table.orphanFiles().isEmpty)
+  }
+
+  test("staged files carry unique -w name tags so commit names can never collide") {
+    val (table, feed) = setup()
+    val staged = CdcIngest.stageNext(spark, table, feed,
+      IngestConfig(numBuckets = 8, segmentsPerBatch = 1)).get
+    val added = staged.files.filter(_.addedVersion == staged.version).map(_.path)
+    assert(added.nonEmpty)
+    added.foreach(p => assert(p.contains("-w"),
+      s"staged file $p must carry a unique -w tag"))
+  }
+
+  test("discard never deletes a path referenced by a committed snapshot") {
+    val (table, _) = setup()
+    val committed = table.currentSnapshot()
+    val victim = committed.files.head
+    // a hostile/corrupted candidate claiming a committed file as its own
+    val bogus = committed.copy(version = committed.version + 1,
+      parentVersion = committed.version, batchId = "bogus",
+      files = committed.files.map(f =>
+        if (f eq victim) f.copy(addedVersion = committed.version + 1) else f))
+    table.stage(bogus)
+    table.discardStaged()
+    assert(java.nio.file.Files.exists(table.root.resolve(victim.path)),
+      "committed data must survive a hostile discard")
+  }
+
   test("a second concurrent staging attempt at a different version is refused") {
     val (table, feed) = setup()
     CdcIngest.stageNext(spark, table, feed, IngestConfig(numBuckets = 8, segmentsPerBatch = 1))
