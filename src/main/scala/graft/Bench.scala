@@ -430,7 +430,7 @@ object Bench {
         try {
           val brute = pairs("ann_brute_topk")
           annRecall = Seq("ann_lsh_topk", "ann_ivf_topk", "ann_ivf_hi",
-            "ann_pq_topk").map(q =>
+            "ann_pq_topk", "ann_ivfpq_topk").map(q =>
             q -> pairs(q).intersect(brute).size.toDouble / brute.size).toMap
           // measured scan fraction: candidates actually scored per query,
           // over the N-1 a full scan would score (10 queries)
@@ -447,13 +447,54 @@ object Bench {
             // re-rank set) — the compressed ADC pass touches all N codes
             // by design and is reported as such in BENCH.md
             "ann_pq_topk" ->
-              graft.queries.PipelineQueries.annPqCandidates(sQ, sfDir).count() / denom)
+              graft.queries.PipelineQueries.annPqCandidates(sQ, sfDir).count() / denom,
+            // IVFADC: same full-precision-rerank accounting as PQ; its ADC
+            // pass touches only the probed cells' codes (~1/probeDiv of N)
+            "ann_ivfpq_topk" ->
+              graft.queries.PipelineQueries.annIvfPqCandidates(sQ, sfDir).count() / denom)
         } catch { case e: Throwable => System.err.println(s"[bench] recall: $e") }
         timed
       } catch { case e: Throwable =>
         System.err.println(s"[bench] query corpus FAILED (continuing to scaling): $e")
         Seq.empty
       } finally stopQuietly(sQ)
+
+    // ---- 1b. manifest-sharding commit cost (measured, not narrated) ----
+    // what a 1-bucket trickle commit WRITES under the sharded manifest
+    // format (1 manifest + the O(buckets) list) vs what the pre-shard
+    // inline format re-serialized per commit (EVERY live entry)
+    // (files+deletes, bytes written sharded, list bytes, inline-equivalent bytes)
+    var manifestCost: Option[(Int, Long, Long, Long)] = None
+    try {
+      val sM = session(BenchCfg("8", 8))
+      try {
+        val mfeed = tmpDir("mancostfeed")
+        FeedGen.writeSegments(FeedSpec(seed = 7L, numEvents = 120000,
+          numUrls = 20000, eventsPerSegment = 40000, evolveAtEvent = 60000), mfeed)
+        val table = LakeTable.create(tmpDir("mancosttbl"),
+          CdcIngest.PagesSchemaV1, 64)
+        CdcIngest.run(sM, table, mfeed,
+          IngestConfig(numBuckets = 64, maxFileRows = 200))
+        import scala.jdk.CollectionConverters._
+        def mans(): Map[String, Long] =
+          Files.list(table.manifestsDir).iterator().asScala
+            .filterNot(_.getFileName.toString.startsWith("."))
+            .map(p => p.getFileName.toString -> Files.size(p)).toMap
+        val before = mans()
+        CdcIngest.compact(sM, table, buckets = Some(Set(0)))
+        val after = mans()
+        val snap = table.currentSnapshot()
+        val listBytes = Files.size(
+          table.root.resolve(f"snapshots/v${snap.version}%012d.json"))
+        val newManBytes = (after -- before.keySet).values.sum
+        val inlineBytes = // every referenced entry re-serialized + scalars
+          snap.manifests.map(r => after(r.path.stripPrefix("manifests/"))).sum + listBytes
+        manifestCost = Some((snap.files.size + snap.deleteFiles.size,
+          newManBytes + listBytes, listBytes, inlineBytes))
+        System.err.println(s"[bench] manifest commit cost: $manifestCost")
+      } finally stopQuietly(sM)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] manifest-cost measurement failed: $e") }
 
     // ---- 2. change-apply throughput at N and 4N cores, same input ----
     // feeds are deterministic functions of their spec — cache them in a
@@ -657,9 +698,14 @@ object Bench {
         s""""four_way_avg_sec":${j(bus.map(_._2), 3)},""" +
         s""""hw_inflation_1_to_4":${j(busInflation, 3)},""" +
         s""""hw_efficiency_ceiling":${j(busInflation.map(1.0 / _), 3)}},"""
+    val manifestJson = manifestCost.map { case (nf, shard, list, inline) =>
+      s""""manifest_commit":{"files":$nf,"bytes_sharded":$shard,""" +
+        s""""bytes_list":$list,"bytes_inline_equiv":$inline},"""
+    }.getOrElse("")
     val json =
       s"""{"metric":"change_apply_events_per_sec","value":${j(epsHigh, 0)},"unit":"events/sec",""" +
         s""""queries":$qJson,"queries_total_sec":${fnum(totalQ, 2)},"sf":"$sfDir",""" +
+        manifestJson +
         s""""ann_recall_at5":$recallJson,"ann_scan_fraction":$scanJson,""" +
         s""""scaling":{"events":$events,"curve":$curveJson,""" +
         execJson +
@@ -729,9 +775,18 @@ object Bench {
          || N=2 → 4N=8 cores | threads, one JVM | ${j(effLowPair, 3)}${stormFlag(effLowPair)} |
          || N=$nLow → 4N=$cpus cores | threads, one JVM | ${j(effHighPair, 3)}${stormFlag(effHighPair)} |${
            if (skipExec) "" else
-             f"%n|| **N=1 → 4N=4 executors (1 core each, below the bus knee)** | separate executor JVMs (local-cluster) | **${j(effExecPair, 3)}${stormFlag(effExecPair)}** |" +
-             f"%n|| N=1 → 4N=4 executors (2 cores each, 4N at the knee) | separate executor JVMs (local-cluster) | ${j(effExecPair2, 3)}${stormFlag(effExecPair2)} |"}
+             f"%n|| **N=1 → 4N=4 executors (1 core each, below the bus knee) — THE GATE METRIC** | separate executor JVMs (local-cluster) | **${j(effExecPair, 3)}${stormFlag(effExecPair)}** |" +
+             f"%n|| N=1 → 4N=4 executors (2 cores each, 4N at the knee) — informational | separate executor JVMs (local-cluster) | ${j(effExecPair2, 3)}${stormFlag(effExecPair2)} |"}
          |$stormNote
+         |The ≥0.8 gate is evaluated on the 1-core executor pair ONLY. The
+         |2-core pair is reported as INFORMATIONAL (not a gate claim): its
+         |4N side lands 8 concurrent cores on this VM's measured memory-bus
+         |saturation knee, and across rounds it straddles the gate
+         |(0.389-1.373 observed; 0.816/0.840 on quiet hosts, 0.737 with
+         |task-CPU inflation 1.23x under co-tenancy) — the variance is the
+         |box, not the engine, but a number that reproduces only sometimes
+         |is not a gate result and is not claimed as one.
+         |
          |### Executor mode: the hardware floor, measured without Spark
          |
          |Executor-mode (`local-cluster[n,c,mem]`) runs n SEPARATE executor
@@ -823,6 +878,22 @@ object Bench {
          |Query corpus total at `$sfDir`: ${f"$totalQ%.2f"} s across
          |${results.size} queries (see BENCH JSON for the per-query split).
          |
+         |### Manifest sharding: commit metadata cost (measured this run)
+         |
+         |${manifestCost.map { case (nf, shard, list, inline) =>
+             f"A 1-bucket trickle commit on a $nf-file 64-bucket table wrote" +
+             f" ${shard / 1024.0}%.1f KB of metadata (1 new content-addressed" +
+             f" manifest + the ${list / 1024.0}%.1f KB manifest list) vs" +
+             f" ${inline / 1024.0}%.1f KB the pre-shard inline format" +
+             f" re-serialized per commit — ${inline.toDouble / shard}%.1fx less." +
+             " The gap GROWS with table size: the list is O(buckets) and the" +
+             " manifest rewrite is O(touched buckets), so at 10^6 files a" +
+             " trickle commit still writes a few KB where the inline format" +
+             " rewrote hundreds of MB of JSON per commit — and readers" +
+             " re-parse only manifests they have not cached (manifests are" +
+             " content-addressed and immutable)."
+           }.getOrElse("(measurement unavailable this run — see run log)")}
+         |
          |ANN recall@5 vs the exact brute-force baseline (same 10 queries),
          |with the MEASURED scan fraction (candidates actually scored /
          |full-scan candidates):
@@ -849,6 +920,17 @@ object Bench {
          |0.90 recall@5 at sf0.1 — above both IVF tiers at a fifth of
          |ann_ivf_hi's exact scan — because ADC preserves magnitudes, so
          |the sign-LSH geometry cap below does not bind it.
+         |`ann_ivfpq_topk` composes the two indexes (IVFADC, round 5 — the
+         |standard billion-scale shape): the IVF coarse quantizer routes
+         |each query to its nprobe = cells/2 nearest cells, ADC scores ONLY
+         |those cells' codes (~half the compressed pass of ann_pq_topk),
+         |and the same ≈5% re-rank budget is spent on the probed set.
+         |Measured 0.90 recall@5 at sf0.1 — equal to the full-ADC pq tier
+         |at half its compressed scan (probeDiv 3/4 measured 0.86/0.80 —
+         |below the 0.9 bar, so 2 is the shipped knob). At sf0.01's 500
+         |vectors both PQ tiers are code-starved (K = ⌊N/32⌋ = 15 centroids
+         |per subspace) and measure ≈0.45; the spec floor carries slack for
+         |that regime.
          |`ann_lsh_topk` is the cheap sketch tier: 2 tables × 8 random
          |±1-hyperplane sign bits with Hamming-1 multi-probe (no index
          |build, constant probes). Its recall is geometry-capped on this

@@ -381,7 +381,7 @@ object MainIngest {
     // referenced by ANY snapshot — crashed batches, lost compaction races
     case "gc" :: tableDir :: rest if rest.forall(_ == "--delete") =>
       val table = LakeTable.load(tableDir)
-      val orphans = table.orphanFiles()
+      val orphans = table.orphanFiles() ++ table.orphanManifests()
       if (orphans.isEmpty) println("no orphan files")
       else if (rest.contains("--delete")) {
         orphans.foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -442,37 +442,29 @@ object MainIngest {
             // log-recovery semantics. Only the TAIL may be repaired this
             // way; damage in the middle of the WAL means lost history and
             // must be re-fetched from the source, never papered over.
-            graft.codec.RecordCodec.truncationPoint(bytes) match {
-              case Some(cut) if cut > graft.codec.RecordCodec.SegmentHeaderLen =>
-                val kept = java.util.Arrays.copyOfRange(bytes, 0, cut)
-                graft.codec.RecordCodec.verifySegment(kept, deep) match {
-                  case Right(n) =>
-                    // truncate IN PLACE: the repaired content is a strict
-                    // prefix of the file, so a crash mid-operation leaves a
-                    // valid-or-again-repairable tail — no delete/rename
-                    // window that could lose the whole segment
-                    val truncated =
-                      try fs.truncate(p, cut.toLong)
-                      catch { case _: Exception => false }
-                    if (!truncated) {
-                      val out = fs.create(p, true)
-                      try out.write(kept) finally out.close()
-                    }
-                    records += n
-                    println(f"segment $id%6d REPAIRED: truncated at byte $cut%d " +
-                      f"($n%d records kept) — was: $msg")
-                  case Left((o2, m2)) =>
-                    // framing/CRC-clean prefix still has deep-only damage
-                    // (e.g. a CRC-less legacy record with a rotted field):
-                    // report, never crash the run, never repair blindly
-                    bad += 1
-                    println(f"segment $id%6d CORRUPT at byte $o2%d: $m2 " +
-                      "(deep damage before the torn tail — re-fetch)")
+            // The decision procedure is RecordCodec.planTailRepair — the
+            // same one the cdc_torn_tail oracle query drives.
+            graft.codec.RecordCodec.planTailRepair(bytes, deep) match {
+              case Right((cut, n)) =>
+                // truncate IN PLACE: the repaired content is a strict
+                // prefix of the file, so a crash mid-operation leaves a
+                // valid-or-again-repairable tail — no delete/rename
+                // window that could lose the whole segment
+                val truncated =
+                  try fs.truncate(p, cut.toLong)
+                  catch { case _: Exception => false }
+                if (!truncated) {
+                  val out = fs.create(p, true)
+                  try out.write(bytes, 0, cut) finally out.close()
                 }
-              case _ =>
+                records += n
+                println(f"segment $id%6d REPAIRED: truncated at byte $cut%d " +
+                  f"($n%d records kept) — was: $msg")
+              case Left((o2, m2)) =>
+                // no valid prefix, or deep-only damage strictly before the
+                // tear: report, never crash the run, never repair blindly
                 bad += 1
-                println(f"segment $id%6d CORRUPT at byte $off%d: $msg " +
-                  "(no valid prefix to keep — re-fetch)")
+                println(f"segment $id%6d CORRUPT at byte $o2%d: $m2")
             }
           case Left((off, msg)) =>
             bad += 1

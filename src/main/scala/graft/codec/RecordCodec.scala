@@ -392,6 +392,33 @@ object RecordCodec {
     * (nothing to repair) or the header itself is unreadable (nothing to
     * keep). Used by `fsck --repair-tail`; truncation at this point always
     * yields a segment [[verifySegment]] accepts. */
+  /** Tail-repair plan for a damaged segment — the one decision procedure
+    * behind BOTH `fsck --repair-tail` (MainIngest) and the `cdc_torn_tail`
+    * oracle query, so the driver-checked recovery semantics are exactly
+    * the CLI's. Right((cut, records)) = truncating the file to `cut`
+    * bytes keeps a fully-valid prefix of `records` frames (Kafka
+    * log-recovery semantics); Left((offset, msg)) = not repairable as a
+    * torn tail (no valid prefix, or damage strictly before the tear) and
+    * the segment must be re-fetched. A clean segment plans to its own
+    * length. */
+  def planTailRepair(segment: Array[Byte],
+      deep: Boolean = false): Either[(Long, String), (Int, Long)] =
+    verifySegment(segment, deep) match {
+      case Right(n) => Right((segment.length, n))
+      case Left((off, msg)) =>
+        truncationPoint(segment) match {
+          case Some(cut) if cut > SegmentHeaderLen =>
+            val kept = java.util.Arrays.copyOfRange(segment, 0, cut)
+            verifySegment(kept, deep) match {
+              case Right(n) => Right((cut, n))
+              case Left((o2, m2)) =>
+                Left((o2, s"$m2 (deep damage before the torn tail — re-fetch)"))
+            }
+          case _ =>
+            Left((off, s"$msg (no valid prefix to keep — re-fetch)"))
+        }
+    }
+
   def truncationPoint(segment: Array[Byte]): Option[Int] = {
     val buf = ByteBuffer.wrap(segment)
     val hasCrc =

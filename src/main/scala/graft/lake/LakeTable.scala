@@ -63,6 +63,16 @@ object DeleteFileEntry {
   val Positional = "positional"
 }
 
+/** One entry of a snapshot's manifest LIST (Iceberg manifest-list analog):
+  * a content-addressed, immutable per-bucket manifest file holding that
+  * bucket's data/delete entries. The snapshot JSON carries only these refs
+  * — O(buckets), not O(files) — so a trickle commit serializes and writes
+  * ONLY the touched buckets' manifests (unchanged buckets re-reference the
+  * parent's manifest by path), and a reader re-parses only manifests it
+  * has not seen (they are immutable, so caching by path is always safe). */
+final case class ManifestRef(path: String, bucket: Int,
+    dataFiles: Int, deleteFiles: Int)
+
 final case class Snapshot(
     version: Long,
     batchId: String,
@@ -73,7 +83,10 @@ final case class Snapshot(
     files: Seq[DataFileEntry],
     lineage: Seq[Map[String, Any]],
     metrics: Map[String, Any],
-    deleteFiles: Seq[DeleteFileEntry] = Seq.empty) {
+    deleteFiles: Seq[DeleteFileEntry] = Seq.empty,
+    // populated on read of sharded snapshots / by commit; derived, never
+    // authored by callers (commit ignores and recomputes it)
+    manifests: Seq[ManifestRef] = Seq.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
@@ -97,6 +110,36 @@ final class LakeTable(val root: Path) {
 
   def snapshotsDir: Path = root.resolve("snapshots")
   def dataDir: Path = root.resolve("data")
+  def manifestsDir: Path = root.resolve("manifests")
+
+  /** Parsed-manifest cache. Manifest files are content-addressed and
+    * immutable, so a cache entry can never go stale; it turns the
+    * O(total files) manifest parse into O(new manifests) for every read
+    * after the first (trickle commits re-reference almost everything).
+    * Bounded defensively — at the bound the table has ~100k DISTINCT
+    * manifests parsed through one driver, far past any sandbox run. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[DataFileEntry], Seq[DeleteFileEntry])]()
+  private def cacheManifest(rel: String,
+      v: (Seq[DataFileEntry], Seq[DeleteFileEntry])): Unit = {
+    if (manifestCache.size > 100000) manifestCache.clear()
+    manifestCache.put(rel, v)
+  }
+
+  /** Load one manifest file's entries (cache-first). */
+  private def loadManifest(rel: String): (Seq[DataFileEntry], Seq[DeleteFileEntry]) = {
+    val hit = manifestCache.get(rel)
+    if (hit != null) return hit
+    val node = Mapper.readTree(Files.readAllBytes(root.resolve(rel)))
+    val fs = Option(node.get("files")).toSeq
+      .flatMap(_.elements().asScala.map(parseDataEntry))
+    val ds = Option(node.get("deleteFiles")).toSeq
+      .flatMap(_.elements().asScala.map(parseDeleteEntry))
+    val v = (fs, ds)
+    cacheManifest(rel, v)
+    v
+  }
 
   def currentSnapshot(): Snapshot = {
     val versions = listVersions()
@@ -113,8 +156,53 @@ final class LakeTable(val root: Path) {
   def readSnapshot(version: Long): Snapshot =
     parseSnapshot(Files.readAllBytes(snapPath(version)))
 
+  private def parseDataEntry(f: com.fasterxml.jackson.databind.JsonNode): DataFileEntry =
+    DataFileEntry(f.get("path").asText(), f.get("bucket").asInt(), f.get("rows").asLong(),
+      Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(0L),
+      Option(f.get("tsMinMicros")).map(_.asLong()),
+      Option(f.get("tsMaxMicros")).map(_.asLong()),
+      Option(f.get("addedVersion")).map(_.asLong()).getOrElse(0L),
+      Option(f.get("colStats")).map { cs =>
+        cs.fields().asScala.map { e =>
+          e.getKey -> ColStat(e.getValue.get("t").asText(),
+            e.getValue.get("min").asText(), e.getValue.get("max").asText())
+        }.toMap
+      }.getOrElse(Map.empty))
+
+  private def parseDeleteEntry(f: com.fasterxml.jackson.databind.JsonNode): DeleteFileEntry =
+    DeleteFileEntry(f.get("path").asText(), f.get("bucket").asInt(),
+      f.get("rows").asLong(), f.get("sizeBytes").asLong(),
+      f.get("addedVersion").asLong(),
+      Option(f.get("kind")).map(_.asText()).getOrElse(DeleteFileEntry.Equality))
+
+  private def parseManifestRefs(node: com.fasterxml.jackson.databind.JsonNode): Seq[ManifestRef] =
+    Option(node.get("manifests")).toSeq.flatMap(_.elements().asScala.map { m =>
+      ManifestRef(m.get("path").asText(), m.get("bucket").asInt(),
+        m.get("dataFiles").asInt(), m.get("deleteFiles").asInt())
+    })
+
   private def parseSnapshot(bytes: Array[Byte]): Snapshot = {
     val node = Mapper.readTree(bytes)
+    // sharded format (current writer): the snapshot carries a manifest
+    // LIST; entries live in immutable per-bucket manifest files, loaded
+    // through the cache (bounded parallel for a cold many-bucket read).
+    // Legacy inline format (pre-shard snapshots) still parses below.
+    val refs = parseManifestRefs(node)
+    val (files, deleteFiles) =
+      if (refs.nonEmpty || node.get("files") == null) {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val loaded = refs.iterator.grouped(64).flatMap { g =>
+          Await.result(
+            Future.sequence(g.map(r => Future(loadManifest(r.path)))),
+            Duration.Inf)
+        }.toSeq
+        (loaded.flatMap(_._1), loaded.flatMap(_._2))
+      } else (
+        node.get("files").elements().asScala.map(parseDataEntry).toSeq,
+        Option(node.get("deleteFiles")).toSeq.flatMap(
+          _.elements().asScala.map(parseDeleteEntry)))
     Snapshot(
       version = node.get("version").asLong(),
       batchId = node.get("batchId").asText(),
@@ -122,28 +210,19 @@ final class LakeTable(val root: Path) {
       watermarkSegment = node.get("watermarkSegment").asLong(),
       schemaJson = node.get("schemaJson").asText(),
       numBuckets = node.get("numBuckets").asInt(),
-      files = node.get("files").elements().asScala.map { f =>
-        DataFileEntry(f.get("path").asText(), f.get("bucket").asInt(), f.get("rows").asLong(),
-          Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(0L),
-          Option(f.get("tsMinMicros")).map(_.asLong()),
-          Option(f.get("tsMaxMicros")).map(_.asLong()),
-          Option(f.get("addedVersion")).map(_.asLong()).getOrElse(0L),
-          Option(f.get("colStats")).map { cs =>
-            cs.fields().asScala.map { e =>
-              e.getKey -> ColStat(e.getValue.get("t").asText(),
-                e.getValue.get("min").asText(), e.getValue.get("max").asText())
-            }.toMap
-          }.getOrElse(Map.empty))
-      }.toSeq,
+      files = files,
       lineage = node.get("lineage").elements().asScala.map(jsonToMap).toSeq,
       metrics = jsonToMap(node.get("metrics")),
-      deleteFiles = Option(node.get("deleteFiles")).toSeq.flatMap(_.elements().asScala.map { f =>
-        DeleteFileEntry(f.get("path").asText(), f.get("bucket").asInt(),
-          f.get("rows").asLong(), f.get("sizeBytes").asLong(),
-          f.get("addedVersion").asLong(),
-          Option(f.get("kind")).map(_.asText()).getOrElse(DeleteFileEntry.Equality))
-      }))
+      deleteFiles = deleteFiles,
+      manifests = refs)
   }
+
+  /** Just the manifest LIST of a committed version — an O(buckets) parse
+    * that never opens a manifest file (the commit fast path's view of its
+    * parent). Empty for legacy inline snapshots or a missing version. */
+  private def manifestRefsOf(version: Long): Seq[ManifestRef] =
+    if (version < 0 || !Files.exists(snapPath(version))) Seq.empty
+    else parseManifestRefs(Mapper.readTree(Files.readAllBytes(snapPath(version))))
 
   private def jsonToMap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Any] =
     n.fields().asScala.map { e =>
@@ -155,6 +234,64 @@ final class LakeTable(val root: Path) {
 
   private def snapPath(version: Long): Path =
     snapshotsDir.resolve(f"v$version%012d.json")
+
+  /** Write (or re-reference) the per-bucket manifest files for `snap` and
+    * return its manifest list — the Iceberg manifest-list analog that
+    * bounds per-commit driver work by TOUCHED buckets, not total files:
+    *
+    *   - a bucket whose entry group is unchanged from the parent snapshot
+    *     re-references the parent's manifest file by path, with NO
+    *     serialization (entry equality against the cached parent group;
+    *     carried entries are the same objects, so the compare is O(n)
+    *     reference-equality fast paths);
+    *   - a changed bucket serializes its group to canonical compact JSON
+    *     whose sha-256 prefix names the file (content-addressed), so an
+    *     identical group anywhere in history — rollback, idempotent
+    *     replay, a racing twin commit — resolves to the same immutable
+    *     file and skips the write.
+    *
+    * Manifests are written BEFORE the snapshot's link(2) claim: a crash or
+    * lost version race leaves only unreferenced manifest files (invisible
+    * to every reader; swept by [[orphanManifests]]), never a torn commit. */
+  private def writeManifests(snap: Snapshot): Seq[ManifestRef] = {
+    val byBucketF = snap.files.groupBy(_.bucket)
+    val byBucketD = snap.deleteFiles.groupBy(_.bucket)
+    val parent = manifestRefsOf(snap.parentVersion).map(r => r.bucket -> r).toMap
+    Files.createDirectories(manifestsDir)
+    (byBucketF.keySet ++ byBucketD.keySet).toSeq.sorted.map { b =>
+      val fs = byBucketF.getOrElse(b, Seq.empty).sortBy(_.path)
+      val ds = byBucketD.getOrElse(b, Seq.empty).sortBy(_.path)
+      val reuse = parent.get(b).filter { r =>
+        manifestCache.get(r.path) match {
+          case null       => false
+          case (pfs, pds) => pfs == fs && pds == ds
+        }
+      }
+      reuse.getOrElse {
+        val bytes = LakeTable.renderManifest(b, fs, ds).getBytes("UTF-8")
+        val hash = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).take(16).map("%02x".format(_)).mkString
+        val rel = s"manifests/m-$hash.json"
+        val p = root.resolve(rel)
+        if (!Files.exists(p)) {
+          val tmp = manifestsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+          Files.write(tmp, bytes)
+          // content-addressed: EEXIST means another writer just landed the
+          // IDENTICAL bytes — not a conflict, unlike the version claim
+          try Files.createLink(p, tmp)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+            case _: UnsupportedOperationException =>
+              try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          }
+          Files.deleteIfExists(tmp)
+        }
+        cacheManifest(rel, (fs, ds))
+        ManifestRef(rel, b, fs.size, ds.size)
+      }
+    }
+  }
 
   /** Atomic commit. Returns the committed snapshot — which is `snap` on
     * success, or the already-committed identical snapshot when the same
@@ -170,7 +307,8 @@ final class LakeTable(val root: Path) {
       if (cur.version < snap.version && cur.schemaJson != snap.schemaJson)
         graft.schema.SchemaValidator.requireCompatible(cur.schema, snap.schema)
     }
-    val json = renderSnapshot(snap)
+    val refs = writeManifests(snap)
+    val json = renderSnapshot(snap, refs)
     val tmp = snapshotsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
     Files.write(tmp, json.getBytes("UTF-8"))
     // Claim the version with createLink (link(2)), NOT a rename: on POSIX,
@@ -188,7 +326,7 @@ final class LakeTable(val root: Path) {
           Files.move(tmp, snapPath(snap.version), StandardCopyOption.ATOMIC_MOVE)
       }
       Files.deleteIfExists(tmp)
-      snap
+      snap.copy(manifests = refs)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
@@ -242,7 +380,8 @@ final class LakeTable(val root: Path) {
         s"a staged snapshot already exists at v${s.version} " +
           "(publish or discard it first)")
     }
-    val json = renderSnapshot(snap)
+    val refs = writeManifests(snap)
+    val json = renderSnapshot(snap, refs)
     val tmp = snapshotsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
     Files.write(tmp, json.getBytes("UTF-8"))
     try {
@@ -252,7 +391,7 @@ final class LakeTable(val root: Path) {
           Files.move(tmp, stagedPath(snap.version), StandardCopyOption.ATOMIC_MOVE)
       }
       Files.deleteIfExists(tmp)
-      snap
+      snap.copy(manifests = refs)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
@@ -300,13 +439,19 @@ final class LakeTable(val root: Path) {
     // the candidate's names (impossible for candidates staged with unique
     // -w tags, but cheap to guarantee by construction), those paths now
     // carry live data and discarding the candidate must not destroy it.
-    val committedRefs = listVersions().map(readSnapshot)
+    val committedSnaps = listVersions().map(readSnapshot)
+    val committedRefs = committedSnaps
       .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     val added = (snap.files.filter(_.addedVersion == snap.version).map(_.path) ++
       snap.deleteFiles.filter(_.addedVersion == snap.version).map(_.path))
       .filterNot(committedRefs.contains)
+    // the candidate's own manifests go too — but content-addressed
+    // manifests for UNTOUCHED buckets are shared with the parent and stay
+    val committedMans = committedSnaps.flatMap(_.manifests.map(_.path)).toSet
+    val stagedOnlyMans = snap.manifests.map(_.path).filterNot(committedMans.contains)
     // manifest first: a crash mid-discard leaves only invisible orphans
     Files.deleteIfExists(stagedPath(snap.version))
+    stagedOnlyMans.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
     added.map { rel =>
       val p = root.resolve(rel)
       Files.deleteIfExists(p)
@@ -834,13 +979,20 @@ final class LakeTable(val root: Path) {
     // their files survive any age-based expiration until the tag is removed
     val expire = expireByAge.filterNot(tagged.contains)
     val keep = keepByAge ++ expireByAge.filter(tagged.contains)
-    def paths(v: Long): Seq[String] = {
-      val s = readSnapshot(v)
+    val expireSnaps = expire.map(readSnapshot)
+    val keepSnaps = keep.map(readSnapshot) ++ stagedSnapshot()
+    def dataPaths(s: Snapshot): Seq[String] =
       s.files.map(_.path) ++ s.deleteFiles.map(_.path)
-    }
-    val keptFiles = keep.flatMap(paths).toSet
-    val doomed = expire.flatMap(paths).distinct.filterNot(keptFiles.contains)
+    val keptFiles = keepSnaps.flatMap(dataPaths).toSet
+    val doomed = expireSnaps.flatMap(dataPaths).distinct.filterNot(keptFiles.contains)
+    // manifest files referenced ONLY by expired snapshots go with them
+    // (content-addressed manifests shared with any retained snapshot —
+    // the common case for untouched buckets — survive)
+    val keptMans = keepSnaps.flatMap(_.manifests.map(_.path)).toSet
+    val doomedMans = expireSnaps.flatMap(_.manifests.map(_.path))
+      .distinct.filterNot(keptMans.contains)
     expire.foreach(v => Files.deleteIfExists(snapPath(v)))
+    doomedMans.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
     val deleted = doomed.sorted.map { rel =>
       val p = root.resolve(rel)
       Files.deleteIfExists(p)
@@ -858,6 +1010,20 @@ final class LakeTable(val root: Path) {
       .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     if (!Files.isDirectory(dataDir)) Seq.empty
     else Files.list(dataDir).iterator().asScala
+      .filter(p => !referenced.contains(root.relativize(p).toString))
+      .toSeq
+  }
+
+  /** Manifest files not referenced by any committed or staged snapshot —
+    * debris from crashed or lost-race commits (manifests are written
+    * before the version claim). Invisible to every reader; safe to
+    * delete. Swept by the gc CLI alongside [[orphanFiles]]. */
+  def orphanManifests(): Seq[Path] = {
+    val referenced = (listVersions().map(readSnapshot) ++ stagedSnapshot())
+      .flatMap(_.manifests.map(_.path)).toSet
+    if (!Files.isDirectory(manifestsDir)) Seq.empty
+    else Files.list(manifestsDir).iterator().asScala
+      .filter(p => !p.getFileName.toString.startsWith("."))
       .filter(p => !referenced.contains(root.relativize(p).toString))
       .toSeq
   }
@@ -932,7 +1098,49 @@ object LakeTable {
 
   def load(rootDir: String): LakeTable = new LakeTable(Paths.get(rootDir))
 
-  def renderSnapshot(s: Snapshot): String = {
+  private def renderDataEntry(
+      fn: com.fasterxml.jackson.databind.node.ObjectNode, f: DataFileEntry): Unit = {
+    fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
+    fn.put("sizeBytes", f.sizeBytes)
+    f.tsMinMicros.foreach(fn.put("tsMinMicros", _))
+    f.tsMaxMicros.foreach(fn.put("tsMaxMicros", _))
+    fn.put("addedVersion", f.addedVersion)
+    if (f.colStats.nonEmpty) {
+      val cs = fn.putObject("colStats")
+      f.colStats.toSeq.sortBy(_._1).foreach { case (c, st) =>
+        val o = cs.putObject(c)
+        o.put("t", st.typ); o.put("min", st.min); o.put("max", st.max)
+      }
+    }
+  }
+
+  private def renderDeleteEntry(
+      fn: com.fasterxml.jackson.databind.node.ObjectNode, f: DeleteFileEntry): Unit = {
+    fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
+    fn.put("sizeBytes", f.sizeBytes); fn.put("addedVersion", f.addedVersion)
+    if (f.kind != DeleteFileEntry.Equality) fn.put("kind", f.kind)
+  }
+
+  /** Canonical (compact, key-order-stable, entries path-sorted by the
+    * caller) manifest content — its bytes are the identity the sha-256
+    * content address is computed over. */
+  def renderManifest(bucket: Int,
+      fs: Seq[DataFileEntry], ds: Seq[DeleteFileEntry]): String = {
+    val node = Mapper.createObjectNode()
+    node.put("bucket", bucket)
+    val files = node.putArray("files")
+    fs.foreach(f => renderDataEntry(files.addObject(), f))
+    if (ds.nonEmpty) {
+      val dels = node.putArray("deleteFiles")
+      ds.foreach(d => renderDeleteEntry(dels.addObject(), d))
+    }
+    Mapper.writeValueAsString(node)
+  }
+
+  /** Snapshot JSON: every scalar commit field plus the manifest LIST —
+    * O(buckets) entries naming the per-bucket manifest files — never the
+    * O(total files) inline entry arrays the pre-shard format carried. */
+  def renderSnapshot(s: Snapshot, refs: Seq[ManifestRef]): String = {
     val node = Mapper.createObjectNode()
     node.put("version", s.version)
     node.put("batchId", s.batchId)
@@ -940,30 +1148,11 @@ object LakeTable {
     node.put("watermarkSegment", s.watermarkSegment)
     node.put("schemaJson", s.schemaJson)
     node.put("numBuckets", s.numBuckets)
-    val files = node.putArray("files")
-    s.files.foreach { f =>
-      val fn = files.addObject()
-      fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
-      fn.put("sizeBytes", f.sizeBytes)
-      f.tsMinMicros.foreach(fn.put("tsMinMicros", _))
-      f.tsMaxMicros.foreach(fn.put("tsMaxMicros", _))
-      fn.put("addedVersion", f.addedVersion)
-      if (f.colStats.nonEmpty) {
-        val cs = fn.putObject("colStats")
-        f.colStats.toSeq.sortBy(_._1).foreach { case (c, st) =>
-          val o = cs.putObject(c)
-          o.put("t", st.typ); o.put("min", st.min); o.put("max", st.max)
-        }
-      }
-    }
-    if (s.deleteFiles.nonEmpty) {
-      val dels = node.putArray("deleteFiles")
-      s.deleteFiles.foreach { f =>
-        val fn = dels.addObject()
-        fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rows", f.rows)
-        fn.put("sizeBytes", f.sizeBytes); fn.put("addedVersion", f.addedVersion)
-        if (f.kind != DeleteFileEntry.Equality) fn.put("kind", f.kind)
-      }
+    val ms = node.putArray("manifests")
+    refs.foreach { r =>
+      val mn = ms.addObject()
+      mn.put("path", r.path); mn.put("bucket", r.bucket)
+      mn.put("dataFiles", r.dataFiles); mn.put("deleteFiles", r.deleteFiles)
     }
     val lin = node.putArray("lineage")
     s.lineage.foreach { m =>

@@ -306,33 +306,42 @@ object PipelineQueries {
     * assigned to its nearest refined centroid, each query probing its
     * nprobe nearest cells. Exposed (projected) for Bench's scan-fraction
     * report. */
-  private def ivfCandidatesFull(s: SparkSession, dir: String,
-      probeDiv: Int = 10): DataFrame = {
-    val e = embed(s, dir)
-      .withColumn("nv", sqrt(dotC(col("v"), col("v"))))
-    val (cells, nprobe, stride) = ivfParams(e.count(), probeDiv)
-    val seeds = e
-      .filter(col("vec_id") % stride === 0 &&
-        floor(col("vec_id") / lit(stride.toDouble)) < cells)
-      .select(floor(col("vec_id") / lit(stride.toDouble)).cast("int").as("cent_id"),
-        col("v").as("cv"), col("nv").as("ncv"))
-    val cent = ivfCentroids(e, seeds)
-    val assigned = e.join(broadcast(cent))
+  private def ivfSeeds(e: DataFrame, cells: Long, stride: Long): DataFrame = e
+    .filter(col("vec_id") % stride === 0 &&
+      floor(col("vec_id") / lit(stride.toDouble)) < cells)
+    .select(floor(col("vec_id") / lit(stride.toDouble)).cast("int").as("cent_id"),
+      col("v").as("cv"), col("nv").as("ncv"))
+
+  /** (vec_id, v, nv, cell): every vector assigned to its nearest refined
+    * centroid (cosine, tie → lowest cent_id). */
+  private def ivfAssigned(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(broadcast(cent))
       .groupBy(col("vec_id"), col("v"), col("nv"))
       .agg(max_by(col("cent_id"), struct(
         (dotC(col("v"), col("cv")) / (col("nv") * col("ncv"))).as("c"),
         (-col("cent_id")).as("nid"))).as("cell"))
+
+  /** (query_id, qv, nqv, cell): each query's nprobe nearest cells. */
+  private def ivfQCells(e: DataFrame, cent: DataFrame, nprobe: Long): DataFrame = {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nqv"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qc").desc, col("cent_id").asc)
-    val qCells = broadcast(q).join(broadcast(cent))
+    broadcast(q).join(broadcast(cent))
       .select(col("query_id"), col("qv"), col("nqv"), col("cent_id"),
         (dotC(col("qv"), col("cv")) / (col("nqv") * col("ncv"))).as("qc"))
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qv"), col("nqv"), col("cent_id").as("cell"))
-    broadcast(qCells).join(assigned, Seq("cell"))
+  }
+
+  private def ivfCandidatesFull(s: SparkSession, dir: String,
+      probeDiv: Int = 10): DataFrame = {
+    val e = embed(s, dir)
+      .withColumn("nv", sqrt(dotC(col("v"), col("v"))))
+    val (cells, nprobe, stride) = ivfParams(e.count(), probeDiv)
+    val cent = ivfCentroids(e, ivfSeeds(e, cells, stride))
+    broadcast(ivfQCells(e, cent, nprobe)).join(ivfAssigned(e, cent), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("nqv"),
         col("vec_id").as("neighbor_id"), col("v"), col("nv"))
@@ -445,6 +454,42 @@ object PipelineQueries {
 
   def annPqCandidates(s: SparkSession, dir: String): DataFrame =
     pqCandidatesFull(s, dir).select(col("query_id"), col("neighbor_id"))
+
+  /** IVF×PQ composition — the standard billion-scale ANN shape (IVFADC):
+    * the coarse quantizer routes each query to its nprobe nearest cells,
+    * ADC scores ONLY those cells' codes in the compressed domain, and the
+    * top C of the probed set are exactly re-ranked. Both halves are the
+    * already-hash-parity constructions above ([[ivfCentroids]] routing,
+    * [[pqReconstruct]] codes), composed without modification; nprobe =
+    * cells/[[IvfPqProbeDiv]] bounds the ADC pass itself (~8 B/vec packed
+    * at scale) to a fraction of the corpus, and full-precision vectors are
+    * touched only for the C re-rank survivors — at 100 TB that is the
+    * difference between streaming every code and streaming a quarter of
+    * them, with the exact-read term unchanged. */
+  private val IvfPqProbeDiv = 2
+  private def ivfpqCandidatesFull(s: SparkSession, dir: String): DataFrame = {
+    val e = embed(s, dir).withColumn("nv", sqrt(dotC(col("v"), col("v"))))
+    val n = e.count()
+    val (cells, nprobe, stride) = ivfParams(n, IvfPqProbeDiv)
+    val (k, c, pstride) = pqParams(n)
+    val cent = ivfCentroids(e, ivfSeeds(e, cells, stride))
+    val rhat = pqReconstruct(e, k, pstride)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ac").desc, col("neighbor_id").asc)
+    broadcast(ivfQCells(e, cent, nprobe)).join(ivfAssigned(e, cent), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(rhat, Seq("vec_id"))
+      .select(col("query_id"), col("qv"), col("nqv"),
+        col("vec_id").as("neighbor_id"), col("v"), col("nv"),
+        (dotC(col("qv"), col("rhat")) / (col("nqv") * col("nv"))).as("ac"))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= c)
+      .select(col("query_id"), col("qv"), col("nqv"),
+        col("neighbor_id"), col("v"), col("nv"))
+  }
+
+  def annIvfPqCandidates(s: SparkSession, dir: String): DataFrame =
+    ivfpqCandidatesFull(s, dir).select(col("query_id"), col("neighbor_id"))
 
   private def top5(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -699,6 +744,17 @@ object PipelineQueries {
           (dotC(col("qv"), col("v")) / (col("nqv") * col("nv"))).as("cos")))
     }),
 
+    // IVFADC (IVF routing × PQ in-cell scoring) — the billion-scale
+    // composition: coarse cells prune the corpus, ADC orders the probed
+    // half in the compressed domain, ≈5% get exact re-rank. See
+    // ivfpqCandidatesFull for the scale argument; recall floor pinned in
+    // QueriesSpec, measured numbers in BENCH.md.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      top5(ivfpqCandidatesFull(s, dir)
+        .select(col("query_id"), col("neighbor_id"),
+          (dotC(col("qv"), col("v")) / (col("nqv") * col("nv"))).as("cos")))
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "ta_langid" -> ((s, dir) => {
       val ts = split(col("text"), " ")
@@ -883,6 +939,31 @@ object PipelineQueries {
           percentile(col("n"), lit(0.99)).as("p99_tokens"))
     }),
 
+    // the BOUNDED-STATE form ta_length_stats' scaladoc promises: one-pass
+    // fixed-bucket histogram percentiles, exact over the bounded integer
+    // domain of token counts (the bucket IS the count). Stage 1 is a
+    // map-side-combined groupBy(lang, n) whose state per task is capped at
+    // |langs|·|domain| regardless of corpus size; stage 2 (cumulative sum
+    // → inverted-CDF pick: the smallest n whose cumulative count reaches
+    // ⌈q·total⌉) runs over the tiny histogram. Unlike the interpolated
+    // exact-sort variant this never holds a group's values in memory —
+    // the 100-TB percentile. All-integer arithmetic (cum·100 ≥ q100·total)
+    // so both engines agree bit-for-bit with no float rank interpolation.
+    "ta_length_hist" -> ((s, dir) => {
+      val h = t(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+        .groupBy(col("lang"), col("n")).agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy(col("lang")).orderBy(col("n"))
+      val wt = Window.partitionBy(col("lang"))
+      h.withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("total", sum(col("c")).over(wt))
+        .groupBy(col("lang"))
+        .agg(max(col("total")).as("n_docs"),
+          min(when(col("cum") * 100 >= col("total") * 50, col("n"))).as("p50_tokens"),
+          min(when(col("cum") * 100 >= col("total") * 90, col("n"))).as("p90_tokens"),
+          min(when(col("cum") * 100 >= col("total") * 99, col("n"))).as("p99_tokens"))
+    }),
+
     // corpus-self-estimated bigram LM quality score (the CCNet/KenLM
     // quality-filter SHAPE, exactly computable): logP(doc) = Σ ln(C(w1,w2)
     // / C(w1)) over the doc's word bigrams, counts estimated from the
@@ -1053,14 +1134,13 @@ object PipelineQueries {
        |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM agged""".stripMargin
   }
 
-  /** The IVF oracle, parameterized only by the probe divisor — the index
-    * (params, seeds, one fixed-point Lloyd step, assignment) is identical
-    * across tiers, mirroring [[ivfCandidatesFull]] expression for
-    * expression. */
-  private def ivfOracleSql(probeDiv: Int): String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |           FROM embeddings),
-       |params AS (SELECT
+  /** IVF index CTE chain (params → seeds → one fixed-point Lloyd step →
+    * assignment → query probes), mirroring [[ivfCandidatesFull]]
+    * expression for expression. Assumes an `e(vec_id, v)` CTE is already
+    * in scope; shared verbatim by the ivf tiers and the IVFADC
+    * composition so every tier provably runs the SAME index. */
+  private def ivfIndexCtes(probeDiv: Int): String =
+    s"""params AS (SELECT
        |    GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT)) AS cells,
        |    GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT) // $probeDiv) AS nprobe,
        |    GREATEST(1, COUNT(*) // GREATEST(1, CAST(FLOOR(4.5 * FLOOR(SQRT(COUNT(*)))) AS BIGINT))) AS stride
@@ -1095,7 +1175,15 @@ object PipelineQueries {
        |    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id AS cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${cosSql("q.v", "c.cv")} DESC, c.cent_id ASC) AS crank
-       |    FROM e q, cent c WHERE q.vec_id < 10) x, params p WHERE x.crank <= p.nprobe),
+       |    FROM e q, cent c WHERE q.vec_id < 10) x, params p WHERE x.crank <= p.nprobe)"""
+      .stripMargin
+
+  /** The IVF oracle, parameterized only by the probe divisor — the index
+    * is [[ivfIndexCtes]]. */
+  private def ivfOracleSql(probeDiv: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |${ivfIndexCtes(probeDiv)},
        |scored AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("p.qv", "a.v")} AS cos
        |  FROM qcells p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id)
@@ -1110,16 +1198,15 @@ object PipelineQueries {
     s"((list_dot_product($a, $a) - (2.0 * list_dot_product($a, $b))) + " +
       s"list_dot_product($b, $b))"
 
-  /** DuckDB mirror of the PQ/ADC pipeline — every stage (params, seeds,
-    * one fixed-point Lloyd step per subspace, code assignment,
-    * reconstruction, ADC ranking, exact re-rank) matches
-    * [[pqReconstruct]]/[[pqCandidatesFull]] expression for expression. */
-  private val pqOracleSql: String = {
+  /** PQ codebook + reconstruction CTE chain (pqp params → subspace slices
+    * → stratified seeds → one fixed-point Lloyd step per subspace → code
+    * assignment → per-vector reconstruction `rhat(vec_id, rv)`), matching
+    * [[pqReconstruct]] expression for expression. Assumes `e(vec_id, v)`;
+    * CTE names are pq-prefixed so the chain composes with
+    * [[ivfIndexCtes]] in one statement (the IVFADC oracle). */
+  private val pqRhatCtes: String = {
     val kExpr = "LEAST(256, GREATEST(4, COUNT(*) // 32))"
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |           FROM embeddings),
-       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
-       |params AS (SELECT
+    s"""pqp AS (SELECT
        |    GREATEST(10, (COUNT(*) + 19) // 20) AS c,
        |    GREATEST(1, COUNT(*) // $kExpr) AS stride,
        |    $kExpr AS k
@@ -1128,35 +1215,46 @@ object PipelineQueries {
        |subs AS (SELECT vec_id, m,
        |    list_slice(v, m * $PqSub + 1, m * $PqSub + $PqSub) AS sv
        |  FROM e, ms),
-       |seeds AS (SELECT CAST(FLOOR(e.vec_id / p.stride) AS INT) AS cent_id, ms.m AS m,
+       |pseeds AS (SELECT CAST(FLOOR(e.vec_id / p.stride) AS INT) AS cent_id, ms.m AS m,
        |    list_slice(e.v, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS scv
-       |  FROM e, params p, ms
+       |  FROM e, pqp p, ms
        |  WHERE e.vec_id % p.stride = 0 AND FLOOR(e.vec_id / p.stride) < p.k),
-       |assign0 AS (SELECT vec_id, m, sv, cell FROM (
+       |passign0 AS (SELECT vec_id, m, sv, cell FROM (
        |    SELECT s.vec_id, s.m, s.sv, d.cent_id AS cell,
        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |        ${l2Sql("s.sv", "d.scv")} ASC, d.cent_id ASC) AS r
-       |    FROM subs s JOIN seeds d ON s.m = d.m) WHERE r = 1),
-       |contrib AS (SELECT m, cell, gs.i AS pos,
+       |    FROM subs s JOIN pseeds d ON s.m = d.m) WHERE r = 1),
+       |pcontrib AS (SELECT m, cell, gs.i AS pos,
        |    SUM(CAST(FLOOR(sv[gs.i] * 1000000.0 + 0.5) AS BIGINT)) AS sq, COUNT(*) AS cnt
-       |  FROM assign0, UNNEST(generate_series(1, len(sv))) AS gs(i)
+       |  FROM passign0, UNNEST(generate_series(1, len(sv))) AS gs(i)
        |  GROUP BY 1, 2, 3),
-       |cent AS (SELECT m, cell AS cent_id,
+       |pcent AS (SELECT m, cell AS cent_id,
        |    list(CAST(sq AS DOUBLE) / cnt / 1000000.0 ORDER BY pos) AS ccv
-       |  FROM contrib GROUP BY 1, 2),
+       |  FROM pcontrib GROUP BY 1, 2),
        |codes AS (SELECT vec_id, m, ccv FROM (
        |    SELECT s.vec_id, s.m, c.ccv,
        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |        ${l2Sql("s.sv", "c.ccv")} ASC, c.cent_id ASC) AS r
-       |    FROM subs s JOIN cent c ON s.m = c.m) WHERE r = 1),
-       |rhat AS (SELECT vec_id, flatten(list(ccv ORDER BY m)) AS rv FROM codes GROUP BY 1),
+       |    FROM subs s JOIN pcent c ON s.m = c.m) WHERE r = 1),
+       |rhat AS (SELECT vec_id, flatten(list(ccv ORDER BY m)) AS rv FROM codes GROUP BY 1)"""
+      .stripMargin
+  }
+
+  /** DuckDB mirror of the PQ/ADC pipeline: [[pqRhatCtes]] builds the
+    * reconstructions, then full-corpus ADC ranking and exact re-rank
+    * matching [[pqCandidatesFull]]. */
+  private val pqOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+       |$pqRhatCtes,
        |cand AS (SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        list_dot_product(q.v, r.rv) / (q.nv * t.nv) DESC, t.vec_id ASC) AS ar
        |    FROM en q, en t, rhat r
        |    WHERE q.vec_id < 10 AND t.vec_id = r.vec_id AND t.vec_id <> q.vec_id) x,
-       |    params p WHERE x.ar <= p.c),
+       |    pqp p WHERE x.ar <= p.c),
        |scored AS (SELECT c.query_id, c.neighbor_id, ${cosSql("q.v", "n.v")} AS cos
        |  FROM cand c JOIN en q ON c.query_id = q.vec_id
        |              JOIN en n ON c.neighbor_id = n.vec_id)
@@ -1164,7 +1262,34 @@ object PipelineQueries {
        |  SELECT query_id, neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
-  }
+
+  /** IVFADC oracle: [[ivfIndexCtes]] routes (assigned cells + query
+    * probes), [[pqRhatCtes]] reconstructs, ADC ranks ONLY rows whose cell
+    * is probed, top-c exact re-rank — mirroring [[ivfpqCandidatesFull]]
+    * stage for stage. */
+  private val ivfpqOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+       |${ivfIndexCtes(IvfPqProbeDiv)},
+       |$pqRhatCtes,
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT qc.query_id, a.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qc.query_id ORDER BY
+       |        list_dot_product(qc.qv, r.rv) / (qn.nv * tn.nv) DESC, a.vec_id ASC) AS ar
+       |    FROM qcells qc
+       |    JOIN assigned a ON qc.cell = a.cell AND a.vec_id <> qc.query_id
+       |    JOIN rhat r ON r.vec_id = a.vec_id
+       |    JOIN en qn ON qn.vec_id = qc.query_id
+       |    JOIN en tn ON tn.vec_id = a.vec_id) x,
+       |    pqp p WHERE x.ar <= p.c),
+       |scored AS (SELECT c.query_id, c.neighbor_id, ${cosSql("q.v", "n.v")} AS cos
+       |  FROM cand c JOIN en q ON c.query_id = q.vec_id
+       |              JOIN en n ON c.neighbor_id = n.vec_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   /** wg_pagerank oracle: the SAME 10 power iterations unrolled as chained
     * CTEs (recursive CTEs disallow aggregation in the recursive term) —
@@ -1278,6 +1403,19 @@ object PipelineQueries {
         |  quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.9) AS p90_tokens,
         |  quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.99) AS p99_tokens
         |FROM documents GROUP BY lang""".stripMargin,
+    "ta_length_hist" ->
+      """WITH h AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT lang, n,
+        |          SUM(c) OVER (PARTITION BY lang ORDER BY n) AS cum,
+        |          SUM(c) OVER (PARTITION BY lang) AS total
+        |        FROM h)
+        |SELECT lang, CAST(MAX(total) AS BIGINT) AS n_docs,
+        |  CAST(MIN(CASE WHEN cum * 100 >= total * 50 THEN n END) AS BIGINT) AS p50_tokens,
+        |  CAST(MIN(CASE WHEN cum * 100 >= total * 90 THEN n END) AS BIGINT) AS p90_tokens,
+        |  CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN n END) AS BIGINT) AS p99_tokens
+        |FROM cum GROUP BY lang""".stripMargin,
     "ta_corpus_filter" ->
       s"""WITH RECURSIVE $CcCtesSql,
          |$DecontamCtesSql,
@@ -1350,6 +1488,7 @@ object PipelineQueries {
     "ann_ivf_topk" -> ivfOracleSql(10),
     "ann_ivf_hi" -> ivfOracleSql(4),
     "ann_pq_topk" -> pqOracleSql,
+    "ann_ivfpq_topk" -> ivfpqOracleSql,
     "ta_langid" ->
       """WITH sc AS (SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of','a'))) AS s_en,

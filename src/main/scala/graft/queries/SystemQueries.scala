@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DecimalType
 
+import graft.codec.RecordCodec
 import graft.feed.{FeedGen, FeedSpec}
 import graft.ingest.CdcIngest
 import graft.ingest.CdcIngest.IngestConfig
@@ -346,6 +347,19 @@ object SystemQueries {
     eventsPerSegment = 1000, evolveAtEvent = 2000)
   private val CdcBuckets = 16
 
+  /** cdc_torn_tail: frames of the TAIL segment that survive the simulated
+    * torn append (the tear lands mid-frame right after this many frames).
+    * The tail segment carries stream positions [numEvents -
+    * eventsPerSegment, numEvents), so the surviving stream prefix is
+    * exactly the first [[TornCutSeq]] positions — which the static oracle
+    * SQL can select as `seq < TornCutSeq`: a non-duplicate frame at
+    * position k has seq = k, and a duplicate frame re-emits an EARLIER
+    * event verbatim (seq < its position), so the filter admits only
+    * surviving events plus verbatim copies of surviving events, which the
+    * LWW fold is idempotent to. */
+  private val TornKeep = 500
+  private val TornCutSeq = CdcSpec.numEvents - CdcSpec.eventsPerSegment + TornKeep
+
   /** Fixed location of the replay TRUTH stream: the canonical decoded
     * events as produced by the generator BEFORE binary encoding, dumped to
     * parquet so the driver's DuckDB oracle can read them back with
@@ -402,7 +416,9 @@ object SystemQueries {
   private def metaTable(s: SparkSession): LakeTable = synchronized {
     val root = java.nio.file.Paths.get(MetaRoot)
     val marker = root.resolve("_graft_spec")
-    val sig = s"$CdcSpec|buckets=$CdcBuckets|mor-meta-v1"
+    // v2: sharded-manifest snapshot format (manifest list + per-bucket
+    // manifest files) — regenerate the fixed-path table on format change
+    val sig = s"$CdcSpec|buckets=$CdcBuckets|mor-meta-v2"
     if (Files.exists(marker) &&
         new String(Files.readAllBytes(marker), "UTF-8") == sig)
       return LakeTable.load(root.resolve("table").toString)
@@ -497,6 +513,44 @@ object SystemQueries {
     finalState(s, table)
   }
 
+  /** The WAL crash-recovery contract under the driver oracle: the tail
+    * segment is torn mid-frame (producer crash mid-append — the file ends
+    * with a frame length prefix and a few payload bytes), repaired by the
+    * SAME decision procedure `fsck --repair-tail` runs
+    * ([[RecordCodec.planTailRepair]]: truncate to the last fully-valid
+    * frame, Kafka log-recovery semantics), and the repaired feed replayed
+    * through the full engine. The oracle independently folds LWW over the
+    * truth events that survive the cut (`seq < `[[TornCutSeq]] — see its
+    * scaladoc for why seq expresses the positional cut exactly), so a
+    * repair that keeps too much, too little, or corrupts a kept frame
+    * breaks the hash. */
+  def cdcTornTail(s: SparkSession): DataFrame = {
+    writeTruth(s)
+    val work = Files.createTempDirectory("cdctorn")
+    val feedDir = work.resolve("feed").toString
+    val paths = FeedGen.writeSegments(CdcSpec, feedDir)
+    val tailPath = paths.last
+    val bytes = Files.readAllBytes(tailPath)
+    val offs = RecordCodec.segmentOffsets(bytes).toVector
+    require(offs.size == CdcSpec.eventsPerSegment, s"tail frames: ${offs.size}")
+    // end of frame TornKeep-1 = start of frame TornKeep's 4-byte length
+    // prefix; the torn file keeps that prefix plus 5 payload bytes
+    val boundary = offs(TornKeep)._1 - 4
+    val torn = java.util.Arrays.copyOfRange(bytes, 0, boundary + 9)
+    Files.write(tailPath, torn)
+    val plan = RecordCodec.planTailRepair(torn)
+    val (cut, kept) = plan.fold(
+      bad => sys.error(s"tail unrepairable at ${bad._1}: ${bad._2}"), identity)
+    require(cut == boundary && kept == TornKeep.toLong,
+      s"repair plan (cut=$cut kept=$kept) != tear point ($boundary, $TornKeep)")
+    Files.write(tailPath, java.util.Arrays.copyOfRange(torn, 0, cut))
+    val table = LakeTable.create(work.resolve("table").toString,
+      CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
+    CdcIngest.run(s, table, feedDir,
+      IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 2))
+    finalState(s, table)
+  }
+
   /** Fixed-path POSITIONAL deletion-vector replay table (MoR with
     * `deleteVectors = true`, one segment per batch so vectors stack across
     * many commits, never compacted so the stack survives for the oracle).
@@ -540,11 +594,15 @@ object SystemQueries {
     "strm_dedup" -> ((s, dir) => strmDedup(s, dir)),
     "strm_stream_join" -> ((s, dir) => strmStreamJoin(s, dir)),
 
-    // multimodal: binary media column → batched typed decode (stub codec)
+    // multimodal: binary media column → batched typed decode with REAL
+    // header parsing (PNG IHDR / JPEG SOF walk / GIF LSD / WAV fmt+data
+    // chunk walk; blob fallback); oracle re-parses the same fixture bytes
+    // in DuckDB hex arithmetic, including a recursive-CTE JPEG segment walk
     "mm_media_features" -> ((s, dir) => {
       MediaPipeline.extractFeatures(s, MediaPipeline.mediaTable(s, dir))
-        .select(col("doc_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"), col("n_frames"))
+        .select(col("doc_id"), col("kind"), col("format"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames"),
+          col("sample_rate"), col("channels"))
     }),
 
     // CDC engine end-to-end: hash-checked vs DuckDB's LWW fold of the truth
@@ -554,6 +612,10 @@ object SystemQueries {
     // the same contract through Structured Streaming (foreachBatch MERGE)
     "cdc_stream_replay" -> ((s, dir) => cdcStreamReplay(s, dir)),
     "cdc_mor_replay" -> ((s, dir) => cdcMorReplay(s, dir)),
+
+    // crash recovery: torn WAL tail → fsck-equivalent repair → replay;
+    // oracle folds only the truth prefix that survives the tear
+    "cdc_torn_tail" -> ((s, dir) => cdcTornTail(s)),
 
     // the same contract with POSITIONAL deletion vectors; oracle = DuckDB
     // independently re-applying the vectors to the raw on-disk files
@@ -906,15 +968,72 @@ object SystemQueries {
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts""".stripMargin,
 
+    // the oracle re-parses the fixture's BINARY payloads independently:
+    // magic sniff, PNG IHDR BE32 dims, GIF LSD LE16 dims, WAV fmt/data
+    // LE fields, and a recursive-CTE walk of the JPEG segment chain to
+    // SOF — hex(media) + substring arithmetic, no engine code involved.
+    // byte o (0-based) lives at hex position 2*o+1; BE fields concatenate
+    // hex in place, LE fields concatenate bytes reversed.
     "mm_media_features" ->
-      """SELECT doc_id,
-        | CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        | CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1
-        |           ELSE octet_length(encode(text)) % 16 END AS INT) AS n_frames
-        |FROM documents""".stripMargin,
+      s"""WITH RECURSIVE m AS (
+         |  SELECT doc_id, kind, hex(media) AS h,
+         |         CAST(octet_length(media) AS BIGINT) AS n
+         |  FROM read_parquet('${MediaPipeline.MediaRoot}/media.parquet/*.parquet')),
+         |fmt AS (
+         |  SELECT *, CASE
+         |    WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+         |    WHEN substr(h, 1, 4) = 'FFD8' THEN 'jpeg'
+         |    WHEN substr(h, 1, 8) = '47494638'
+         |         AND substr(h, 9, 4) IN ('3961', '3761') THEN 'gif'
+         |    WHEN substr(h, 1, 8) = '52494646'
+         |         AND substr(h, 17, 8) = '57415645' THEN 'wav'
+         |    ELSE 'blob' END AS format
+         |  FROM m),
+         |jw AS (
+         |  SELECT doc_id, h, 2 AS o FROM fmt WHERE format = 'jpeg'
+         |  UNION ALL
+         |  SELECT doc_id, h, o + 2 + CAST('0x' || substr(h, 2*(o+2)+1, 4) AS INT)
+         |  FROM jw
+         |  WHERE substr(h, 2*o+1, 2) = 'FF' AND 2*o < length(h)
+         |    AND substr(h, 2*(o+1)+1, 2) NOT IN
+         |      ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF','D9')),
+         |jdim AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(h, 2*(o+7)+1, 4) AS INT) AS width,
+         |    CAST('0x' || substr(h, 2*(o+5)+1, 4) AS INT) AS height
+         |  FROM jw
+         |  WHERE substr(h, 2*(o+1)+1, 2) IN
+         |    ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF'))
+         |SELECT f.doc_id, f.kind, f.format, f.n AS n_bytes,
+         |  CAST(CASE f.format
+         |    WHEN 'png' THEN CAST('0x' || substr(f.h, 33, 8) AS BIGINT)
+         |    WHEN 'jpeg' THEN jdim.width
+         |    WHEN 'gif' THEN CAST('0x' || substr(f.h, 15, 2) || substr(f.h, 13, 2) AS INT)
+         |    WHEN 'wav' THEN 0
+         |    ELSE f.n % 640 END AS INT) AS width,
+         |  CAST(CASE f.format
+         |    WHEN 'png' THEN CAST('0x' || substr(f.h, 41, 8) AS BIGINT)
+         |    WHEN 'jpeg' THEN jdim.height
+         |    WHEN 'gif' THEN CAST('0x' || substr(f.h, 19, 2) || substr(f.h, 17, 2) AS INT)
+         |    WHEN 'wav' THEN 0
+         |    ELSE (f.n * 7) % 480 END AS INT) AS height,
+         |  CAST(CASE f.format
+         |    WHEN 'wav' THEN
+         |      -- data-chunk byte size (LE32 at 40) over block align (LE16
+         |      -- at 32) = sample-frame count; '//' is integer division
+         |      CAST('0x' || substr(f.h, 87, 2) || substr(f.h, 85, 2) ||
+         |           substr(f.h, 83, 2) || substr(f.h, 81, 2) AS BIGINT)
+         |      // CAST('0x' || substr(f.h, 67, 2) || substr(f.h, 65, 2) AS BIGINT)
+         |    WHEN 'blob' THEN f.n % 16
+         |    ELSE 1 END AS INT) AS n_frames,
+         |  CAST(CASE f.format WHEN 'wav' THEN
+         |    CAST('0x' || substr(f.h, 55, 2) || substr(f.h, 53, 2) ||
+         |         substr(f.h, 51, 2) || substr(f.h, 49, 2) AS BIGINT)
+         |    ELSE 0 END AS INT) AS sample_rate,
+         |  CAST(CASE f.format WHEN 'wav' THEN
+         |    CAST('0x' || substr(f.h, 47, 2) || substr(f.h, 45, 2) AS INT)
+         |    ELSE 0 END AS INT) AS channels
+         |FROM fmt f LEFT JOIN jdim ON jdim.doc_id = f.doc_id""".stripMargin,
 
     // cdc_*: the oracle input is the truth event stream the query dumps to
     // TruthDir (see writeTruth) — read back via read_parquet, so DuckDB
@@ -922,6 +1041,15 @@ object SystemQueries {
     // engine code involved.
     "cdc_replay_state" -> ReplayStateSql,
     "cdc_stream_replay" -> ReplayStateSql,
+
+    // the torn-tail replay folds ONLY the surviving stream prefix (see
+    // TornCutSeq's scaladoc for the seq-expresses-position argument)
+    "cdc_torn_tail" ->
+      s"""WITH w AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+         |  FROM read_parquet('$TruthGlob') WHERE seq < $TornCutSeq)
+         |SELECT url, warc_ts, lang, md5(text) AS text_fp, fetch_status, content_len
+         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
     // merge-on-read replay must reconstruct the SAME final state
     "cdc_mor_replay" -> ReplayStateSql,
     // deletion-vector replay: NOT the truth fold — DuckDB re-applies the
@@ -953,16 +1081,24 @@ object SystemQueries {
          |FROM read_parquet('$TruthGlob') GROUP BY 1, 2""".stripMargin,
 
     // metadata tables: DuckDB independently parses the committed snapshot
-    // JSON manifests (read_json_auto) and must reproduce the engine's
-    // files / snapshots relations field-for-field
+    // JSON (the manifest LIST) and the per-bucket manifest files it names
+    // (read_json_auto over both), traversing the same two-level
+    // sharded-manifest contract the engine reads — and must reproduce the
+    // engine's files / snapshots relations field-for-field
     "cdc_meta_files" ->
       s"""WITH snaps AS (
          |  SELECT * FROM read_json_auto('$MetaRoot/table/snapshots/v*.json',
          |                               union_by_name=true)),
          |cur AS (SELECT * FROM snaps
          |        WHERE version = (SELECT max(version) FROM snaps)),
-         |d AS (SELECT unnest(files, recursive := true) FROM cur),
-         |del AS (SELECT unnest(deleteFiles, recursive := true) FROM cur)
+         |refs AS (SELECT unnest(manifests, recursive := true) FROM cur),
+         |mans AS (
+         |  SELECT * FROM read_json_auto('$MetaRoot/table/manifests/m-*.json',
+         |                               filename=true, union_by_name=true)),
+         |live AS (SELECT m.* FROM mans m
+         |         JOIN refs r ON ends_with(m.filename, r.path)),
+         |d AS (SELECT unnest(files, recursive := true) FROM live),
+         |del AS (SELECT unnest(deleteFiles, recursive := true) FROM live)
          |SELECT 'data' AS kind, path, CAST(bucket AS BIGINT) AS bucket,
          |  "rows", sizeBytes AS size_bytes, addedVersion AS added_version,
          |  tsMinMicros AS ts_min_micros, tsMaxMicros AS ts_max_micros
@@ -974,18 +1110,33 @@ object SystemQueries {
     "cdc_meta_snapshots" ->
       s"""WITH snaps AS (
          |  SELECT * FROM read_json_auto('$MetaRoot/table/snapshots/v*.json',
-         |                               union_by_name=true))
-         |SELECT version, batchId AS batch_id, parentVersion AS parent_version,
-         |  watermarkSegment AS watermark_segment,
-         |  CAST(numBuckets AS BIGINT) AS num_buckets,
-         |  CAST(len(coalesce(files, [])) AS BIGINT) AS n_data_files,
-         |  CAST(coalesce(list_sum(list_transform(files, f -> f."rows")), 0)
-         |       AS BIGINT) AS data_rows,
-         |  CAST(len(coalesce(deleteFiles, [])) AS BIGINT) AS n_delete_files,
-         |  CAST(coalesce(list_sum(list_transform(deleteFiles, f -> f."rows")), 0)
-         |       AS BIGINT) AS delete_rows,
-         |  coalesce(metrics.strategy, '') AS strategy
-         |FROM snaps""".stripMargin,
+         |                               union_by_name=true)),
+         |refs AS (SELECT version AS sv,
+         |                unnest(manifests, recursive := true) FROM snaps),
+         |mans AS (
+         |  SELECT filename,
+         |    CAST(len(coalesce(files, [])) AS BIGINT) AS nf,
+         |    CAST(coalesce(list_sum(list_transform(files, f -> f."rows")), 0)
+         |         AS BIGINT) AS dr,
+         |    CAST(len(coalesce(deleteFiles, [])) AS BIGINT) AS nd,
+         |    CAST(coalesce(list_sum(list_transform(deleteFiles, f -> f."rows")), 0)
+         |         AS BIGINT) AS delr
+         |  FROM read_json_auto('$MetaRoot/table/manifests/m-*.json',
+         |                      filename=true, union_by_name=true)),
+         |per AS (SELECT sv, sum(nf) AS nf, sum(dr) AS dr,
+         |               sum(nd) AS nd, sum(delr) AS delr
+         |        FROM refs JOIN mans ON ends_with(mans.filename, refs.path)
+         |        GROUP BY sv)
+         |SELECT s.version, s.batchId AS batch_id,
+         |  s.parentVersion AS parent_version,
+         |  s.watermarkSegment AS watermark_segment,
+         |  CAST(s.numBuckets AS BIGINT) AS num_buckets,
+         |  CAST(coalesce(per.nf, 0) AS BIGINT) AS n_data_files,
+         |  CAST(coalesce(per.dr, 0) AS BIGINT) AS data_rows,
+         |  CAST(coalesce(per.nd, 0) AS BIGINT) AS n_delete_files,
+         |  CAST(coalesce(per.delr, 0) AS BIGINT) AS delete_rows,
+         |  coalesce(s.metrics.strategy, '') AS strategy
+         |FROM snaps s LEFT JOIN per ON per.sv = s.version""".stripMargin,
     // time travel: the same LWW fold restricted to the truth prefix the
     // first commit covers (seq < V1CutSeq), pre-evolution column set only
     "cdc_time_travel" ->

@@ -242,6 +242,27 @@ class CodecSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("planTailRepair: clean keeps all, torn tail truncates, headless damage refuses") {
+    val evs = (0 until 30).map { i =>
+      ChangeEvent("U", i.toLong, s"https://z.example.com/$i",
+        new Timestamp(1577836800000L + i), Array[Byte](7), s"tt$i", "en", 1, None, None)
+    }
+    val seg = RecordCodec.frameSegment(evs.iterator.map(RecordCodec.encode))
+    assert(RecordCodec.planTailRepair(seg) == Right((seg.length, 30L)),
+      "clean segment plans to its own length")
+    val frames = RecordCodec.segmentOffsets(seg).toSeq
+    def endOf(i: Int): Int = frames(i)._1 + frames(i)._2 + 4 // crc
+    // torn mid-record: plan = cut at end of last valid frame, 29 kept
+    assert(RecordCodec.planTailRepair(seg.take(seg.length - 3)) ==
+      Right((endOf(28), 29L)))
+    // damage in record 0: nothing but the header survives — refuse
+    val first = seg.clone(); first(frames(0)._1) = (first(frames(0)._1) ^ 1).toByte
+    RecordCodec.planTailRepair(first) match {
+      case Left((_, msg)) => assert(msg.contains("re-fetch"))
+      case Right(p) => fail(s"headless damage must not be repairable, got $p")
+    }
+  }
+
   test("format interop: v2 and v3 segments decode identically; offsets agree") {
     val evs = (0 until 40).map { i =>
       ChangeEvent("U", i.toLong, s"https://y.example.com/$i",

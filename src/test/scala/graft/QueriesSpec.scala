@@ -342,12 +342,31 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
-  test("spot: mm_media_features n_bytes equals utf-8 text length") {
+  test("spot: mm_media_features parses real png/jpeg/gif/wav headers") {
+    import graft.multimodal.MediaPipeline.{MediaCodec, MediaRecord}
+    val body = "hello media body, some padding bytes".getBytes("UTF-8")
+    val png = MediaCodec.decode(MediaRecord(1, "image", MediaCodec.png(123, 77, body)))
+    assert(png.format == "png" && png.width == 123 && png.height == 77 &&
+      png.n_frames == 1)
+    val jpg = MediaCodec.decode(MediaRecord(2, "image", MediaCodec.jpeg(640, 480, body)))
+    assert(jpg.format == "jpeg" && jpg.width == 640 && jpg.height == 480)
+    val gif = MediaCodec.decode(MediaRecord(3, "image", MediaCodec.gif(31, 19, body)))
+    assert(gif.format == "gif" && gif.width == 31 && gif.height == 19)
+    val wav = MediaCodec.decode(MediaRecord(4, "audio",
+      MediaCodec.wav(2, 16000, new Array[Byte](64))))
+    assert(wav.format == "wav" && wav.channels == 2 &&
+      wav.sample_rate == 16000 && wav.n_frames == 16) // 64 B / (2ch * 2B)
+    val blob = MediaCodec.decode(MediaRecord(5, "blob", body))
+    assert(blob.format == "blob" && blob.n_bytes == body.length)
+    // end-to-end over the fixture: all five formats present, and nothing
+    // synthesized as a real format may fall back to the blob stub
     val got = SparkEntry.queries("mm_media_features")(spark, sf)
-      .agg(sum(col("n_bytes"))).head.getLong(0)
-    val expected = spark.read.parquet(s"$sf/documents.parquet")
-      .agg(sum(length(encode(col("text"), "UTF-8")))).head.getLong(0)
-    assert(got == expected)
+    val byFmt = got.groupBy("format").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("png", "jpeg", "gif", "wav", "blob").subsetOf(byFmt.keySet),
+      s"formats seen: $byFmt")
+    assert(got.filter(col("format") === "blob" && col("kind") =!= "blob")
+      .count() == 0, "a synthesized header failed to parse")
   }
 
   test("strm_sessions: hot user owning 50% of events matches the window oracle") {
@@ -425,6 +444,15 @@ class QueriesSpec extends SparkTestBase {
     val pqScan = graft.queries.PipelineQueries.annPqCandidates(spark, d).count() / denom
     assert(pqRecall >= 0.35, s"pq recall@5 regressed: $pqRecall")
     assert(pqScan <= 0.06, s"pq exact-scan fraction too high: $pqScan")
+    // IVFADC composition: measured 0.46 at sf0.01 (PQ-code-starved like
+    // the pq tier at N=500; 0.90 at sf0.1, = the full-ADC pq tier at HALF
+    // the compressed scan — pinned in BENCH.md). Exact-rerank budget is
+    // the pq tier's C, and its candidates are a subset of the probed
+    // cells, so the exact-scan fraction can only be ≤ the pq tier's.
+    val ivfpqRecall = pairs("ann_ivfpq_topk").intersect(brute).size.toDouble / brute.size
+    val ivfpqScan = graft.queries.PipelineQueries.annIvfPqCandidates(spark, d).count() / denom
+    assert(ivfpqRecall >= 0.35, s"ivfpq recall@5 regressed: $ivfpqRecall")
+    assert(ivfpqScan <= 0.06, s"ivfpq exact-scan fraction too high: $ivfpqScan")
   }
 
   test("spot: strm_watermark_drops matches the lag-2 watermark fold and drops are real") {
