@@ -809,6 +809,37 @@ object PipelineQueries {
         md5s(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
     }),
 
+    // HLL count-distinct of normalized content per language — the
+    // mergeable bounded-state sketch behind "how many unique documents"
+    // at 100 TB (dedup sizing, corpus accounting): graft.ops.HllSketch, a
+    // typed Aggregator whose partial state is a fixed 512-register array
+    // per group per task, map-side combine ships ONE 2 KB row per
+    // (lang, task), and merge (elementwise max) is idempotent — duplicate
+    // deliveries change nothing. The hash is the first 15 hex chars of
+    // md5(normalized text) — a 60-bit cross-engine primitive — so the
+    // oracle reproduces the registers bit-for-bit in SQL (h % 512 /
+    // bin-length arithmetic, see HllSketch scaladoc); output = the
+    // OCCUPIED registers (integer-exact, hash-checkable); the float
+    // cardinality estimate is derived via HllSketch.estimate and
+    // quality-gated in QueriesSpec, never hash-compared.
+    "ta_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("lang"),
+          conv(substring(md5s(regexp_replace(lower(col("text")), "\\s+", " ")),
+            1, 15), 16, 10).cast("long").as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.ops.HllSketch(9).toColumn.name("regs"))
+        .flatMap { case (lang, regs) =>
+          regs.iterator.zipWithIndex.collect {
+            case (rho, reg) if rho > 0 => (lang, reg, rho)
+          }
+        }
+        .toDF("lang", "register", "rho")
+    }),
+
     // deterministic split assignment: every doc gets a stable
     // train/val/test label from a salted id hash — reproducible across
     // runs and engines, rebalanced only by rotating the salt (the
@@ -995,6 +1026,52 @@ object PipelineQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("logp_micro")).as("logp_micro_sum"))
+    }),
+
+    // Inverted-index build — the retrieval/corpus-stats primitive: per-term
+    // document frequency and total term frequency over one tokenize pass.
+    // Plan shape is the 100-TB one: explode → groupBy(term, doc) (map-side
+    // combined; collapses each doc's repetitions before the shuffle) →
+    // groupBy(term) (count = df, sum = tf) — two map-combinable exchanges,
+    // NO count-distinct expand, no per-term row lists through the shuffle.
+    // df ≥ 5 bounds the output to corpus-common vocabulary (the same
+    // df-truncation the dedup shinglers and DSIR vocab use).
+    "ta_inverted_index" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf_doc"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf_doc")).as("tf"))
+        .where(col("df") >= 5)
+    }),
+
+    // TF-IDF top terms per document: the same inverted-index statistics
+    // joined back (broadcast — the df-truncated vocab is model-sized),
+    // score = tf_doc * round(ln(N/df)·1e6) in integer micro-units (the
+    // ta_lm_score float-parity trick: one ln per TERM, micro-rounded, so
+    // both engines sum exact integers), top 3 per doc by (score desc,
+    // term) — a total order, so the pick is engine-independent.
+    "ta_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val perDoc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf_doc"))
+      val idf = perDoc
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 5)
+        .withColumn("idf_micro",
+          round(log(lit(nDocs.toDouble) / col("df").cast("double")) * 1e6)
+            .cast("long"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_micro").desc, col("term"))
+      perDoc.join(broadcast(idf.select("term", "idf_micro")), Seq("term"))
+        .withColumn("score_micro", col("tf_doc") * col("idf_micro"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score_micro"), col("rk"))
     }),
 
     // Web-graph link analysis: 10 power iterations of PageRank (d = 0.85)
@@ -1522,6 +1599,23 @@ object PipelineQueries {
     "ta_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    // the oracle rebuilds the SAME 512 HLL registers from the same 60-bit
+    // md5-prefix hashes: register = h % 512, w = h // 512 (51 bits),
+    // rho = 52 - length(bin(w)) for w > 0 (bin() renders without leading
+    // zeros in both engines) and 52 for w = 0 — integer arithmetic only
+    "ta_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    CAST('0x' || substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)
+        |         AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, CAST(h % 512 AS INT) AS register,
+        |    CAST(CASE WHEN h // 512 = 0 THEN 52
+        |              ELSE 52 - length(bin(h // 512)) END AS INT) AS rho
+        |  FROM h)
+        |SELECT lang, register, CAST(max(rho) AS INT) AS rho
+        |FROM r GROUP BY lang, register""".stripMargin,
     "ta_split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 2) < 'e6' THEN 'train'
@@ -1593,6 +1687,35 @@ object PipelineQueries {
         |       CAST(sum(lp.logp_micro) AS BIGINT) AS logp_micro_sum
         |FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
         |GROUP BY 1""".stripMargin,
+    "ta_inverted_index" ->
+      """WITH pd AS (
+        |  SELECT term, doc_id, count(*) AS tf_doc FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |       CAST(sum(tf_doc) AS BIGINT) AS tf
+        |FROM pd GROUP BY term HAVING count(*) >= 5""".stripMargin,
+    "ta_tfidf" ->
+      """WITH pd AS (
+        |  SELECT term, doc_id, count(*) AS tf_doc FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(round(ln((SELECT n FROM n) / CAST(count(*) AS DOUBLE)) * 1e6)
+        |         AS BIGINT) AS idf_micro
+        |  FROM pd GROUP BY term HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT pd.doc_id, pd.term, pd.tf_doc * idf.idf_micro AS score_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY pd.doc_id
+        |      ORDER BY pd.tf_doc * idf.idf_micro DESC, pd.term) AS rk
+        |  FROM pd JOIN idf ON pd.term = idf.term)
+        |SELECT doc_id, term, CAST(score_micro AS BIGINT) AS score_micro,
+        |       CAST(rk AS INT) AS rk
+        |FROM scored WHERE rk <= 3""".stripMargin,
     "ta_pii_redact" ->
       """WITH withpii AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@mail.example.com or +1-555-'
