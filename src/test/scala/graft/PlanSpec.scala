@@ -199,6 +199,36 @@ class PlanSpec extends SparkTestBase {
       s"no partial aggregation before the shuffle in:\n$plan")
   }
 
+  test("ta_hll_distinct: sketch is partially aggregated — one exchange carries registers, not rows") {
+    val plan = planString(SparkEntry.queries("ta_hll_distinct")(spark, sf))
+    assert(shuffleCount(plan) == 1,
+      s"HLL should be one exchange (partial sketches before, merge after):\n$plan")
+    // the typed Aggregator must run map-side so the exchange ships one
+    // 2 KB register array per (lang, task), never the corpus rows
+    assert(plan.toLowerCase.contains("partial"),
+      s"no partial sketch aggregation before the shuffle in:\n$plan")
+  }
+
+  test("ta_inverted_index: two map-combinable exchanges, no count-distinct Expand") {
+    val plan = planString(SparkEntry.queries("ta_inverted_index")(spark, sf))
+    assert(shuffleCount(plan) == 2,
+      s"inverted index should be exactly (term,doc) + (term) exchanges:\n$plan")
+    // countDistinct would plan an Expand (row multiplication before the
+    // shuffle); the two-phase groupBy shape must never regress into it
+    assert(!plan.contains("Expand"), s"count-distinct Expand crept in:\n$plan")
+    val aggs = raw"HashAggregate \(\d+\)".r.findAllIn(
+      plan.split(raw"\+- == Initial Plan ==").head).length
+    assert(aggs >= 4, s"expected partial+final at both levels, found $aggs:\n$plan")
+  }
+
+  test("ta_tfidf: the df-truncated vocab joins back as a broadcast, never a shuffle join") {
+    val plan = planString(SparkEntry.queries("ta_tfidf")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"idf join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"vocab join regressed to a shuffle/cartesian join:\n$plan")
+  }
+
   test("AsofJoin plans zero joins and one key shuffle (union + window, no pair blow-up)") {
     import spark.implicits._
     val right = (0 until 100).map(i => (s"k${i % 7}", i.toLong, i.toLong, s"v$i"))
