@@ -37,7 +37,7 @@ object MainIngest {
         |  MainIngest init   <tableDir> [numBuckets]
         |  MainIngest ingest <tableDir> <feedDir> [segmentsPerBatch] [saltBuckets] [maxFileRows] [--mor [--dv]]
         |  MainIngest stream <tableDir> <feedDir> [checkpointDir] [mviewDir] [--mor [--dv]]
-        |  MainIngest compact <tableDir> [--cluster col,col] [tombstoneHorizonIso] [minFilesPerBucket] [maxFileRows]
+        |  MainIngest compact <tableDir> [--cluster col,col | --zorder col,col] [tombstoneHorizonIso] [minFilesPerBucket] [maxFileRows]
         |  MainIngest rebucket <tableDir> <newBuckets> [maxFileRows]
         |  MainIngest expire  <tableDir> <keepLastSnapshots>
         |  MainIngest lookup  <tableDir> <url> [url...]
@@ -164,9 +164,14 @@ object MainIngest {
       val clusterBy = rest0.sliding(2).collectFirst {
         case Seq("--cluster", cols) => cols.split(',').toSeq.filter(_.nonEmpty)
       }.getOrElse(Seq.empty)
-      val rest = {
-        val i = rest0.indexOf("--cluster")
-        if (i < 0) rest0 else rest0.patch(i, Nil, 2)
+      // --zorder col,col: multi-dimensional clustering — every named
+      // column's zone maps prune at once (see ZOrder.zvalue)
+      val zOrderBy = rest0.sliding(2).collectFirst {
+        case Seq("--zorder", cols) => cols.split(',').toSeq.filter(_.nonEmpty)
+      }.getOrElse(Seq.empty)
+      val rest = Seq("--cluster", "--zorder").foldLeft(rest0) { (r, flag) =>
+        val i = r.indexOf(flag)
+        if (i < 0) r else r.patch(i, Nil, 2)
       }
       // numeric args: first = minFilesPerBucket, second = maxFileRows; any
       // non-numeric arg must be an ISO-8601 horizon (parse fails LOUDLY —
@@ -202,11 +207,12 @@ object MainIngest {
         spark.stop(); sys.exit(0)
       }
       val snap = CdcIngest.compact(spark, table, horizon, buckets, maxFileRows,
-        clusterBy = clusterBy)
+        clusterBy = clusterBy, zOrderBy = zOrderBy)
       println(s"compacted $before -> ${snap.files.size} files at v${snap.version}" +
         buckets.map(bs => s" (${bs.size} long-tail buckets)").getOrElse("") +
         horizon.map(h => s" (tombstones before $h dropped)").getOrElse("") +
-        (if (clusterBy.nonEmpty) s" (clustered by ${clusterBy.mkString(",")})" else ""))
+        (if (clusterBy.nonEmpty) s" (clustered by ${clusterBy.mkString(",")})" else "") +
+        (if (zOrderBy.nonEmpty) s" (z-ordered by ${zOrderBy.mkString(",")})" else ""))
       spark.stop()
 
     // partition-spec evolution: grow (or shrink) the url-hash bucket count;

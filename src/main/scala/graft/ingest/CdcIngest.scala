@@ -1034,7 +1034,15 @@ object CdcIngest {
       // manifest's generalized column bounds (filesInColRange) actually
       // prune — on a time-sorted-only layout a key like `lang` spans every
       // file and zone maps on it are vacuous.
-      clusterBy: Seq[String] = Seq.empty): Snapshot = {
+      clusterBy: Seq[String] = Seq.empty,
+      // Z-order clustering (Delta OPTIMIZE ZORDER analog): interleave the
+      // named columns' bits (see ZOrder.zvalue) so EVERY named dimension's
+      // zone maps prune at once — a linear clusterBy gives the leading
+      // column tight bounds and scatters the rest. Mutually exclusive with
+      // clusterBy (they prescribe conflicting physical orders).
+      zOrderBy: Seq[String] = Seq.empty): Snapshot = {
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy prescribe conflicting sort orders; pick one")
     val snap = table.currentSnapshot()
     val targetBuckets = buckets.getOrElse((0 until snap.numBuckets).toSet)
     val srcFiles = snap.files.filter(f => targetBuckets(f.bucket))
@@ -1056,7 +1064,10 @@ object CdcIngest {
       // leading BucketCol satisfies the partitioned write's required
       // ordering, so FileFormatWriter adds NO extra sort of its own
       .sortWithinPartitions(
-        (col(LakeTable.BucketCol) +: clusterBy.map(col)) ++
+        (col(LakeTable.BucketCol) +:
+          (if (zOrderBy.nonEmpty)
+             Seq(graft.lake.ZOrder.zvalue(kept, snap.schema, zOrderBy))
+           else clusterBy.map(col))) ++
           Seq(col("warc_ts"), col("url")): _*)
       .write).partitionBy(LakeTable.BucketCol).mode("overwrite")
     withMicrosTimestamps(spark) {

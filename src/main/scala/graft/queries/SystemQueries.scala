@@ -677,6 +677,26 @@ object SystemQueries {
           md5(col("text").cast("binary")).as("text_fp"))
     }),
 
+    // z-order clustered slice (the generalized-bounds twin of
+    // cdc_time_slice): compact under a 2-D Morton layout over
+    // (warc_ts, content_len), then read a content_len slice through
+    // readColRange — file set planned from the manifest's per-column
+    // bounds ON the interleaved sort order (2-D pruning power asserted
+    // by ZOrderSpec; here the driver hash-checks that the pruned read
+    // still sees exactly the LWW winners in the slice). Catches wrong
+    // footer bounds under the z sort, inclusive-edge residual-filter
+    // errors, and null leakage (content_len is null on every v1-schema
+    // winner — none may appear in the slice).
+    "cdc_zorder_slice" -> ((s, dir) => {
+      writeTruth(s)
+      val table = replayTable(s)
+      CdcIngest.compact(s, table, maxFileRows = 8,
+        zOrderBy = Seq("warc_ts", "content_len"))
+      table.readColRange(s, "content_len", Some("20000"), Some("40000"))
+        .select(col("url"), col("warc_ts"), col("lang"),
+          md5(col("text").cast("binary")).as("text_fp"), col("content_len"))
+    }),
+
     // incremental changelog (Iceberg table_changes): per-key visible-state
     // diff between the first and last committed snapshots, classified
     // I/U/D, reading ONLY the buckets whose file sets changed — hash-checked
@@ -1157,6 +1177,18 @@ object SystemQueries {
          |FROM w WHERE rn = 1 AND op <> 'D'
          |  AND warc_ts >= TIMESTAMP '2020-01-01 00:20:00'
          |  AND warc_ts < TIMESTAMP '2020-01-01 00:40:00'""".stripMargin,
+
+    // z-order slice: the same LWW fold bounded on content_len (inclusive
+    // both ends, exactly readColRange's residual filter) — the engine's
+    // manifest-planned read over the Morton layout must see exactly these
+    // winners no matter which files its per-column bounds pruned
+    "cdc_zorder_slice" ->
+      s"""WITH w AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+         |  FROM read_parquet('$TruthGlob'))
+         |SELECT url, warc_ts, lang, md5(text) AS text_fp, content_len
+         |FROM w WHERE rn = 1 AND op <> 'D'
+         |  AND content_len BETWEEN 20000 AND 40000""".stripMargin,
 
     // changelog: DuckDB diffs its own prefix fold (seq < V1CutSeq) against
     // the full fold — I = not-visible-before/live-after, U = live in both
