@@ -623,6 +623,40 @@ object PipelineQueries {
             .as("dedup_fp"))
     }),
 
+    // Exact repeated-substring dedup (Lee et al. 2022, bounded-window
+    // form): every 15-token sliding window is hashed; a window occurring
+    // >= 2 times anywhere in the corpus marks its token span as duplicated.
+    // Per doc: window count in dup state + the union of covered token
+    // positions (the "how much of this doc is boilerplate" cut signal).
+    // 100-TB shape: the window explode is linear in corpus tokens, the dup
+    // set comes from ONE map-side-combined groupBy on the window hash, the
+    // join back is hash-partitioned on the same key, and position coverage
+    // explodes ONLY duplicated windows (15x a typically-small subset) —
+    // no suffix array, no driver state, no all-pairs anything.
+    "dd_substring_dedup" -> ((s, dir) => {
+      val K = 15
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val wins = toks.select(col("doc_id"),
+        explode(when(size(col("ts")) >= K,
+          transform(sequence(lit(1), size(col("ts")) - (K - 1)),
+            i => struct(i.as("i"),
+              md5s(concat_ws(" ", slice(col("ts"), i, lit(K)))).as("wh"))))
+          .otherwise(array().cast("array<struct<i:int,wh:string>>"))).as("w"))
+        .select(col("doc_id"), col("w.i").as("i"), col("w.wh").as("wh"))
+      val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2).select("wh")
+      val hit = wins.join(dup, Seq("wh"))
+      val dw = hit.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+      val cov = hit
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + (K - 1))).as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+      toks.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+        .join(dw, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dup_windows", "covered_tokens"))
+    }),
+
     "dd_minhash_sig" -> ((s, dir) => minhashSig(s, dir)),
 
     "dd_minhash_pairs" -> ((s, dir) => minhashPairs(s, dir)),
@@ -1468,6 +1502,23 @@ object PipelineQueries {
         |  md5(COALESCE(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE kept), ''))
         |    AS dedup_fp
         |FROM j GROUP BY 1""".stripMargin,
+    "dd_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |wins AS (SELECT doc_id, i, md5(array_to_string(ts[i:i+14], ' ')) AS wh
+        |         FROM (SELECT doc_id, ts,
+        |                 unnest(generate_series(1, greatest(len(ts) - 14, 0))) AS i
+        |               FROM toks)),
+        |dup AS (SELECT wh FROM wins GROUP BY 1 HAVING COUNT(*) >= 2),
+        |hit AS (SELECT w.doc_id, w.i FROM wins w JOIN dup d USING (wh)),
+        |dw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows
+        |       FROM hit GROUP BY 1),
+        |cov AS (SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS covered_tokens
+        |        FROM (SELECT doc_id, unnest(generate_series(i, i + 14)) AS p
+        |              FROM hit) GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        |  COALESCE(dw.dup_windows, 0) AS dup_windows,
+        |  COALESCE(cov.covered_tokens, 0) AS covered_tokens
+        |FROM toks t LEFT JOIN dw USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
     "dd_minhash_sig" -> MinhashSigSql,
     "dd_minhash_pairs" -> MinhashPairsSql,
     "dd_dup_clusters" ->

@@ -115,6 +115,39 @@ class QueriesSpec extends SparkTestBase {
     assert(dropped > 0, "corpus must contain real cross-doc duplicate paragraphs")
   }
 
+  test("spot: dd_substring_dedup matches a serial sliding-window mirror") {
+    // independent oracle: serial fold — hash every 15-token window, mark
+    // windows occurring >= 2 times anywhere, per doc count hits and the
+    // union of covered 1-based token positions
+    val K = 15
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val wins = docs.flatMap { case (id, ts) =>
+      if (ts.length >= K)
+        (0 to ts.length - K).map(i => (id, i + 1, md5hex(ts.slice(i, i + K).mkString(" "))))
+      else Nil
+    }
+    val cnt = wins.groupBy(_._3).map { case (h, g) => h -> g.size }
+    val hits = wins.filter(w => cnt(w._3) >= 2).groupBy(_._1)
+    val mirror = docs.map { case (id, ts) =>
+      val h = hits.getOrElse(id, Array.empty[(Long, Int, String)])
+      id -> ((ts.length.toLong, h.length.toLong,
+        h.flatMap(w => w._2 until w._2 + K).distinct.length.toLong))
+    }.toMap
+    val got = SparkEntry.queries("dd_substring_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == mirror.keySet, "must cover every doc exactly once")
+    mirror.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"doc $id diverges from the serial mirror") }
+    assert(mirror.values.map(_._2).sum > 0,
+      "corpus must contain real repeated 15-token windows")
+  }
+
   test("spot: dd_url_canon folds real variants and leaves no mess in the canonical form") {
     val got = SparkEntry.queries("dd_url_canon")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
