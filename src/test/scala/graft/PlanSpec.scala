@@ -131,6 +131,21 @@ class PlanSpec extends SparkTestBase {
     assert(n <= 2, s"url canon grew extra exchanges ($n):\n$plan")
   }
 
+  test("dd_substring_dedup: window-hash dedup is map-side combined, never a pair blow-up") {
+    val plan = planString(SparkEntry.queries("dd_substring_dedup")(spark, sf))
+    // the dup-window join must stay a hash join on the window-hash key —
+    // a cartesian/nested-loop here is the all-pairs suffix comparison the
+    // bounded-window design exists to avoid
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair blow-up crept into the window-hash join:\n$plan")
+    // the window-count groupBy must partially aggregate before its
+    // shuffle: each task collapses its repeats of a window hash locally,
+    // so the exchange carries (hash, count) rows, not one row per window
+    assert(plan.toLowerCase.contains("partial"),
+      s"no partial aggregation before the window-hash shuffle in:\n$plan")
+  }
+
   test("q23_funnel: window and groupBy share one user_id exchange") {
     val plan = planString(SparkEntry.queries("q23_funnel")(spark, sf))
     val n = shuffleCount(plan)
