@@ -732,6 +732,29 @@ final class LakeTable(val root: Path) {
       "delete_rows", "strategy")
   }
 
+  /** Schema-evolution history (Iceberg `metadata_log_entries`-style audit
+    * trail): one row per committed version with its column count and the
+    * columns ADDED relative to its parent snapshot — "when did
+    * content_len appear, and in which commit?". The schema travels in
+    * every snapshot JSON, so this is manifest-only driver arithmetic
+    * (zero data-file IO), and the DuckDB oracle re-derives the same
+    * relation by parsing each snapshot's serialized schemaJson
+    * independently — putting the evolution contract itself (additive
+    * only; a version never silently drops or retypes a column) under the
+    * driver's hash gate. */
+  def schemaHistoryDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val snaps = listVersions().sorted.map(readSnapshot)
+    val byV = snaps.map(s => s.version -> s).toMap
+    snaps.map { s =>
+      val cols = s.schema.fieldNames.toSeq
+      val parentCols = byV.get(s.parentVersion)
+        .map(_.schema.fieldNames.toSet).getOrElse(Set.empty[String])
+      val added = cols.filterNot(parentCols).sorted
+      (s.version, s.batchId, cols.size.toLong, added.mkString(","))
+    }.toDF("version", "batch_id", "n_columns", "added_columns")
+  }
+
   /** Manifest-planned point lookup: current live rows for the given keys,
     * reading ONLY the data files of the buckets the keys hash into (the
     * serving-layer read path of a key-bucketed lake table: at 100 TB /

@@ -944,6 +944,58 @@ object PipelineQueries {
         .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
     }),
 
+    // Bloom-filter decontamination — the COMPACT-broadcast scale form of
+    // dd_decontaminate: instead of broadcasting the held-out set's exact
+    // shingle hashes (O(n) bytes, n = benchmark n-grams), build a fixed
+    // 16 KB packed bitset (m = 2^17 bits, k = 8 double-hashed positions
+    // per shingle) via graft.ops.BloomSketch — a mergeable OR-bitset
+    // Aggregator whose partial state is m/32 longs per task regardless of
+    // input size, collected as ONE bounded row — and probe the corpus in
+    // a ZERO-SHUFFLE per-row pass: the bitset enters the plan as a
+    // literal and nested exists/forall array lambdas test all k bit
+    // positions per shingle, so the train sweep is embarrassingly
+    // parallel with no explode, no join, no aggregation. Bits pack 32
+    // per word so the probe's bit test (floor(w / 2^(bit%32)) % 2) is
+    // EXACT double arithmetic in both engines; the hash split h1 = low
+    // 30 bits / h2 = high 30 bits stays in integer ops (no double div of
+    // 60-bit values). One-sided error by construction: supersets
+    // dd_decontaminate's exact hits (no false negatives — spec-pinned),
+    // false-positive rate governed by m/n and measured in QueriesSpec.
+    "dd_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val W = 4096 // 32-bit-packed words -> m = 131072 bits
+      val M = W.toLong * 32
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      // per-doc array of 60-bit shingle hashes (13-token windows)
+      def hashes: Column = when(size(col("ts")) >= 13,
+        transform(sequence(lit(1), size(col("ts")) - 12),
+          i => conv(substring(md5s(concat_ws(" ",
+            slice(col("ts"), i, lit(13)))), 1, 15), 16, 10).cast("long")))
+        .otherwise(array().cast("array<long>"))
+      def bitOf(h: Column, i: Column): Column =
+        (h % 1073741824L + i.cast("long") * shiftrightunsigned(h, 30)) % M
+      val heldBits = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(hashes).as("h"))
+        .select(explode(transform(sequence(lit(0), lit(7)),
+          i => bitOf(col("h"), i))).as("bit"))
+        .as[Long]
+      val words = heldBits.groupByKey(_ => 0)
+        .agg(new graft.ops.BloomSketch(W).toColumn.name("w"))
+        .collect().headOption.map(_._2).getOrElse(new Array[Long](W))
+      val wl = lit(words)
+      def bitSet(bit: Column): Column = {
+        val w = element_at(wl, floor(bit / lit(32.0)).cast("int") + 1)
+        pmod(floor(w.cast("double") /
+          pow(lit(2.0), pmod(bit, lit(32L)).cast("double"))).cast("long"),
+          lit(2L)) === 1
+      }
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          exists(hashes, h => forall(transform(sequence(lit(0), lit(7)),
+            i => bitOf(h, i)), bitSet)).as("bloom_flagged"))
+    }),
+
     // Gopher-style intra-document repetition signals: fraction of repeated
     // words / 2-grams / 3-grams per doc (1 - distinct/total). Pure per-row
     // array arithmetic — no shuffle, no explode; trivially parallel at any
@@ -1106,6 +1158,68 @@ object PipelineQueries {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .select(col("doc_id"), col("term"), col("score_micro"), col("rk"))
+    }),
+
+    // PMI collocation extraction — the corpus-level word-association
+    // statistic behind tokenizer/vocabulary curation (which adjacent word
+    // pairs cohere more than chance): pmi(a,b) = ln(N·c(a,b)/(c(a)·c(b)))
+    // over adjacent-token bigrams with unigram marginals and N = total
+    // token count. 100-TB shape: two map-combinable explode+groupBy
+    // passes (unigrams, bigrams), the bigram side truncated to c(a,b) ≥ 5
+    // BEFORE joining marginals — the candidate set after the support
+    // floor is vocabulary-bounded, never corpus-bounded — then top 100
+    // under the total order (pmi desc, w1, w2). Float parity: both
+    // engines compute round(ln((cab·N)/(ca·cb))·1e6) where numerator and
+    // denominator are exact-integer double products (< 2^53 at any SF
+    // this runs at) and the division is correctly rounded, so the ln
+    // argument is bit-identical — the ta_tfidf/ta_lm_score trick.
+    "ta_pmi_cooccur" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val nTok = toks.agg(sum(size(col("ts")))).first().getLong(0)
+      val uni = toks.select(explode(col("ts")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val pairs = toks.select(explode(when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("w1"),
+              element_at(col("ts"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+        .where(col("cab") >= 5)
+      pairs
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+        .withColumn("pmi_micro",
+          round(log((col("cab").cast("double") * nTok.toDouble) /
+            (col("c1").cast("double") * col("c2").cast("double"))) * 1e6)
+            .cast("long"))
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+        .limit(100)
+        .select(col("w1"), col("w2"), col("cab"), col("pmi_micro"))
+    }),
+
+    // per-document unigram entropy — the token-diversity quality signal
+    // (template/boilerplate pages score low, natural prose high):
+    // Σ_w c_w · round(ln(n/c_w)·1e6) = n·H(doc) in integer micro-nats, an
+    // exact integer sum in both engines (one ln per DISTINCT token of an
+    // exact-int ratio — the micro-unit parity trick). Plan: two
+    // map-combinable exchanges — groupBy(doc_id, w), then a doc_id window
+    // whose partitioning the final groupBy(doc_id) REUSES (no third
+    // exchange). Per-group state is the doc's distinct tokens — bounded
+    // by document length, never corpus size.
+    "ta_entropy" -> ((s, dir) => {
+      val cw = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val wn = cw.withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      wn.withColumn("term_micro", col("c") *
+          round(log(col("n").cast("double") / col("c").cast("double")) * 1e6)
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_tokens"),
+          sum(col("term_micro")).as("entropy_micro_sum"))
     }),
 
     // Web-graph link analysis: 10 power iterations of PageRank (d = 0.85)
@@ -1767,6 +1881,37 @@ object PipelineQueries {
         |SELECT doc_id, term, CAST(score_micro AS BIGINT) AS score_micro,
         |       CAST(rk AS INT) AS rk
         |FROM scored WHERE rk <= 3""".stripMargin,
+    // same exact-integer double products inside the ln as the Spark side
+    // (parenthesization matters: (cab*N) / (c1*c2), each product < 2^53)
+    "ta_pmi_cooccur" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |uni AS (SELECT w, count(*) AS cw
+        |        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nt
+        |      FROM (SELECT unnest(ts) AS w FROM toks)),
+        |pr AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+        |       FROM (SELECT ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+        |             FROM toks)),
+        |cp AS (SELECT w1, w2, count(*) AS cab
+        |       FROM pr GROUP BY w1, w2 HAVING count(*) >= 5),
+        |sc AS (SELECT cp.w1, cp.w2, cp.cab,
+        |         CAST(round(ln((CAST(cp.cab AS DOUBLE) * (SELECT nt FROM n)) /
+        |           (CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))) * 1e6)
+        |              AS BIGINT) AS pmi_micro
+        |       FROM cp JOIN uni u1 ON cp.w1 = u1.w
+        |                JOIN uni u2 ON cp.w2 = u2.w)
+        |SELECT w1, w2, CAST(cab AS BIGINT) AS cab, pmi_micro
+        |FROM sc ORDER BY pmi_micro DESC, w1, w2 LIMIT 100""".stripMargin,
+    "ta_entropy" ->
+      """WITH cw AS (SELECT doc_id, w, count(*) AS c
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |                  FROM documents)
+        |            GROUP BY doc_id, w),
+        |wn AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cw)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c * CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6)
+        |                    AS BIGINT)) AS BIGINT) AS entropy_micro_sum
+        |FROM wn GROUP BY doc_id""".stripMargin,
     "ta_pii_redact" ->
       """WITH withpii AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@mail.example.com or +1-555-'
@@ -1794,6 +1939,32 @@ object PipelineQueries {
         |         WHERE s.doc_id % 50 <> 0)
         |SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
         |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |WHERE t.doc_id % 50 <> 0""".stripMargin,
+    // mirrors the Bloom probe relationally: same 60-bit md5-prefix hash,
+    // same double-hash bit derivation (h1 + i*h2) % 131072 with h1 = low
+    // 30 bits / h2 = high 30 bits, flag = EXISTS shingle whose 8 bits are
+    // ALL in the held-out bit set — identical integer math, so the packed
+    // bitset literal and the relational set agree bit-for-bit
+    "dd_bloom_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(array_to_string(ts[i:i+12], ' ')), 1, 15) AS BIGINT) AS h
+        |       FROM (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 12, 0))) AS i
+        |             FROM toks)),
+        |hb AS (SELECT doc_id, h % 1073741824 AS h1, h // 1073741824 AS h2 FROM sh),
+        |bits AS (SELECT DISTINCT (h1 + i * h2) % 131072 AS bit
+        |         FROM (SELECT h1, h2, unnest([0,1,2,3,4,5,6,7]) AS i
+        |               FROM hb WHERE doc_id % 50 = 0)),
+        |pb AS (SELECT doc_id, h1, h2, (h1 + i * h2) % 131072 AS bit
+        |       FROM (SELECT doc_id, h1, h2, unnest([0,1,2,3,4,5,6,7]) AS i
+        |             FROM hb WHERE doc_id % 50 <> 0)),
+        |shhit AS (SELECT doc_id, h1, h2,
+        |            sum(CASE WHEN b.bit IS NULL THEN 1 ELSE 0 END) = 0 AS allset
+        |          FROM pb LEFT JOIN bits b USING (bit)
+        |          GROUP BY doc_id, h1, h2),
+        |hits AS (SELECT doc_id, bool_or(allset) AS f FROM shhit GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(h.f, FALSE) AS bloom_flagged
+        |FROM toks t LEFT JOIN hits h USING (doc_id)
         |WHERE t.doc_id % 50 <> 0""".stripMargin
   )
 }

@@ -644,6 +644,7 @@ object SystemQueries {
     // when data reads still look right.
     "cdc_meta_files" -> ((s, dir) => metaTable(s).filesDf(s)),
     "cdc_meta_snapshots" -> ((s, dir) => metaTable(s).snapshotsDf(s)),
+    "cdc_schema_history" -> ((s, dir) => metaTable(s).schemaHistoryDf(s)),
 
     // time travel (Iceberg VERSION AS OF): live state at the FIRST committed
     // batch (watermark segment 1 → truth events with seq < cut), read
@@ -1157,6 +1158,25 @@ object SystemQueries {
          |  CAST(coalesce(per.delr, 0) AS BIGINT) AS delete_rows,
          |  coalesce(s.metrics.strategy, '') AS strategy
          |FROM snaps s LEFT JOIN per ON per.sv = s.version""".stripMargin,
+    // schema-evolution audit trail: DuckDB parses each committed
+    // snapshot's serialized schemaJson (a JSON string inside the snapshot
+    // JSON — json_transform re-parses it) and re-derives per version the
+    // column count and the columns added vs the parent snapshot, so the
+    // additive-evolution on-disk contract sits under the hash gate
+    "cdc_schema_history" ->
+      s"""WITH snaps AS (
+         |  SELECT * FROM read_json_auto('$MetaRoot/table/snapshots/v*.json',
+         |                               union_by_name=true)),
+         |sch AS (SELECT version, batchId, parentVersion,
+         |  list_transform(json_transform(schemaJson,
+         |    '{"fields":[{"name":"VARCHAR"}]}').fields, f -> f.name) AS cols
+         |  FROM snaps)
+         |SELECT s.version, s.batchId AS batch_id,
+         |  CAST(len(s.cols) AS BIGINT) AS n_columns,
+         |  coalesce(array_to_string(list_sort(list_filter(s.cols,
+         |    c -> NOT list_contains(coalesce(p.cols, []), c))), ','), '')
+         |    AS added_columns
+         |FROM sch s LEFT JOIN sch p ON s.parentVersion = p.version""".stripMargin,
     // time travel: the same LWW fold restricted to the truth prefix the
     // first commit covers (seq < V1CutSeq), pre-evolution column set only
     "cdc_time_travel" ->

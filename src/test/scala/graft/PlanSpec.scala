@@ -167,6 +167,35 @@ class PlanSpec extends SparkTestBase {
       s"decontamination plans a product join:\n$plan")
   }
 
+  test("dd_bloom_decontaminate: probe is a zero-shuffle, zero-join per-row pass") {
+    // the filter enters the plan as a 16 KB bitset literal; the returned
+    // probe must be embarrassingly parallel — no exchange, no join of any
+    // kind (the held-side aggregation runs eagerly at build time and is
+    // bounded: ONE collected row of m/32 words)
+    val plan = planString(SparkEntry.queries("dd_bloom_decontaminate")(spark, sf))
+    val n = shuffleCount(plan)
+    assert(n == 0, s"bloom probe must not shuffle, found $n:\n$plan")
+    assert(!plan.contains("Join"), s"bloom probe must not join:\n$plan")
+  }
+
+  test("ta_pmi_cooccur: support-floored candidates, map-combined counts, no product join") {
+    val plan = planString(SparkEntry.queries("ta_pmi_cooccur")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pmi plans a product join:\n$plan")
+    // both count passes partially aggregate before their exchanges
+    val finalOnly = plan.split(raw"\+- == Initial Plan ==").head
+    val partials = raw"HashAggregate".r.findAllIn(finalOnly).length
+    assert(partials >= 4, s"expected map-side combines around the count shuffles:\n$plan")
+  }
+
+  test("ta_entropy: exactly two exchanges — the final groupBy reuses the window's doc_id partitioning") {
+    val plan = planString(SparkEntry.queries("ta_entropy")(spark, sf))
+    val n = shuffleCount(plan)
+    assert(n == 2,
+      s"expected (doc_id,w) + doc_id exchanges only — the groupBy(doc_id) must reuse the window partitioning, found $n:\n$plan")
+  }
+
   test("ta_corpus_filter: composition never plans a cartesian/nested-loop join") {
     val plan = planString(SparkEntry.queries("ta_corpus_filter")(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

@@ -201,6 +201,42 @@ class QueriesSpec extends SparkTestBase {
       "contamination flags diverge from the brute-force shingle oracle")
   }
 
+  test("spot: ta_pmi_cooccur matches a driver-side serial recomputation") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(split(col("text"), " ").as("ts"))
+      .collect().map(_.getSeq[String](0))
+    val nTok = toks.map(_.size.toLong).sum
+    val uni = toks.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val big = toks.flatMap(ts => ts.zip(ts.drop(1))).groupBy(identity)
+      .map { case (p, g) => p -> g.size.toLong }.filter(_._2 >= 5)
+    val expected = big.map { case ((a, b), cab) =>
+      val pmi = math.round(math.log((cab.toDouble * nTok.toDouble) /
+        (uni(a).toDouble * uni(b).toDouble)) * 1e6)
+      (a, b, cab, pmi)
+    }.toSeq.sortBy { case (a, b, _, p) => (-p, a, b) }.take(100).toSet
+    val got = SparkEntry.queries("ta_pmi_cooccur")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty, "pmi candidates must survive the support floor at the smoke SF")
+    assert(got == expected, "pmi top-100 diverges from the serial mirror")
+  }
+
+  test("spot: ta_entropy matches a driver-side serial recomputation") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val expected = rows.map { case (id, ts) =>
+      val n = ts.size.toLong
+      val ent = ts.groupBy(identity).values.map { g =>
+        val c = g.size.toLong
+        c * math.round(math.log(n.toDouble / c.toDouble) * 1e6)
+      }.sum
+      (id, n, ent)
+    }.toSet
+    val got = SparkEntry.queries("ta_entropy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, "entropy diverges from the serial mirror")
+  }
+
   test("spot: ta_repetition matches an explode/groupBy mirror") {
     // independent plan: count words/2-grams/3-grams via explode + distinct
     // counts instead of per-row array arithmetic
