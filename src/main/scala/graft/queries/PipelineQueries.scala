@@ -874,6 +874,37 @@ object PipelineQueries {
         .toDF("lang", "register", "rho")
     }),
 
+    // Count-Min frequency sketch per language — the heavy-hitters /
+    // term-frequency primitive when the vocabulary is too large to count
+    // exactly (completes the mergeable-sketch trio: HLL cardinality,
+    // Bloom membership, CMS frequency): graft.ops.CmsSketch, a typed
+    // Aggregator whose partial state is a fixed 4×1024 counter matrix
+    // (32 KB) per group per task no matter how many tokens stream
+    // through, map-side combine ships ONE row per (lang, task), merge is
+    // an elementwise sum (partitioning/merge-shape invariant,
+    // property-tested). Same 60-bit md5-prefix double-hash recipe as the
+    // Bloom filter — h1 = low 30 bits, h2 = high 30 bits, row i's
+    // counter = (h1 + i·h2) mod 1024 — so the DuckDB oracle rebuilds
+    // every occupied cell with integer SQL; point estimates (min over
+    // rows, never an undercount) are derived via CmsSketch.estimate and
+    // quality-gated in CmsSketchSpec, never hash-compared.
+    "ta_cms_freq" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .select(col("lang"),
+          conv(substring(md5s(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.ops.CmsSketch(4, 1024).toColumn.name("cells"))
+        .flatMap { case (lang, cells) =>
+          cells.iterator.zipWithIndex.collect {
+            case (cnt, idx) if cnt > 0 => (lang, idx / 1024, idx % 1024, cnt)
+          }
+        }
+        .toDF("lang", "r", "c", "cnt")
+    }),
+
     // deterministic split assignment: every doc gets a stable
     // train/val/test label from a salted id hash — reproducible across
     // runs and engines, rebalanced only by rotating the salt (the
@@ -1781,6 +1812,19 @@ object PipelineQueries {
         |  FROM h)
         |SELECT lang, register, CAST(max(rho) AS INT) AS rho
         |FROM r GROUP BY lang, register""".stripMargin,
+    // the oracle rebuilds the SAME 4x1024 CMS counters from the same
+    // 60-bit md5-prefix hashes and double-hash recipe as the engine's
+    // aggregator (and the Bloom filter): row i's counter is
+    // (h1 + i*h2) % 1024 with h1 = h % 2^30, h2 = h // 2^30
+    "ta_cms_freq" ->
+      """WITH h AS (
+        |  SELECT lang, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)),
+        |cells AS (
+        |  SELECT lang, i AS r, CAST((h % 1073741824 + i * (h // 1073741824)) % 1024 AS INT) AS c
+        |  FROM (SELECT lang, h, unnest([0,1,2,3]) AS i FROM h))
+        |SELECT lang, CAST(r AS INT) AS r, c, CAST(count(*) AS BIGINT) AS cnt
+        |FROM cells GROUP BY lang, r, c""".stripMargin,
     "ta_split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 2) < 'e6' THEN 'train'

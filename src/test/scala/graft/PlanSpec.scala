@@ -253,6 +253,16 @@ class PlanSpec extends SparkTestBase {
       s"no partial sketch aggregation before the shuffle in:\n$plan")
   }
 
+  test("ta_cms_freq: sketch is partially aggregated — one exchange carries counter matrices, not tokens") {
+    val plan = planString(SparkEntry.queries("ta_cms_freq")(spark, sf))
+    assert(shuffleCount(plan) == 1,
+      s"CMS should be one exchange (partial sketches before, merge after):\n$plan")
+    // the typed Aggregator must run map-side so the exchange ships one
+    // 32 KB counter matrix per (lang, task), never the token rows
+    assert(plan.toLowerCase.contains("partial"),
+      s"no partial sketch aggregation before the shuffle in:\n$plan")
+  }
+
   test("ta_inverted_index: two map-combinable exchanges, no count-distinct Expand") {
     val plan = planString(SparkEntry.queries("ta_inverted_index")(spark, sf))
     assert(shuffleCount(plan) == 2,
