@@ -49,6 +49,8 @@ object MainIngest {
         |  MainIngest discard <tableDir>
         |  MainIngest where   <tableDir> <column> <lo|-> <hi|->
         |  MainIngest promote <tableDir> <column> <ddlType>
+        |  MainIngest rename-column <tableDir> <from> <to>
+        |  MainIngest drop-column   <tableDir> <column>
         |  MainIngest tag     <tableDir> <name> [version]
         |  MainIngest tags    <tableDir>
         |  MainIngest rollback <tableDir> <version|tag>
@@ -356,6 +358,21 @@ object MainIngest {
       val snap = table.promoteColumn(column, to)
       println(s"promoted $column: $before -> ${to.simpleString} at v${snap.version} " +
         "(metadata-only; existing files upcast at scan time)")
+
+    // rename/drop evolution (ALTER TABLE … RENAME/DROP COLUMN): metadata-
+    // only commits; old files keep their physical columns and readers map
+    // them through the snapshot's alias chain
+    case "rename-column" :: tableDir :: from :: to :: Nil =>
+      val table = LakeTable.load(tableDir)
+      val snap = table.renameColumn(from, to)
+      println(s"renamed $from -> $to at v${snap.version} (metadata-only; " +
+        "pre-rename files read through the alias chain)")
+
+    case "drop-column" :: tableDir :: column :: Nil =>
+      val table = LakeTable.load(tableDir)
+      val snap = table.dropColumn(column)
+      println(s"dropped $column at v${snap.version} (metadata-only; the " +
+        "physical name is retired — time travel to earlier versions still reads it)")
 
     // immutable named refs (Iceberg tag analog): audit/rollback anchors
     // that `expire` retains regardless of age

@@ -767,12 +767,19 @@ object CdcIngest {
     val raw = decodeRaw(spark, segments.map(_._2))
 
     def evolvedSchema(maxSv: Int): StructType =
-      if (maxSv >= RecordCodec.SchemaV2 &&
-          !snap.schema.fieldNames.contains(RecordCodec.V2Columns.head._1))
-        StructType(snap.schema.fields ++ RecordCodec.V2Columns.map {
+      if (maxSv >= RecordCodec.SchemaV2) {
+        // a v2 column that was RENAMED is already present under its current
+        // name (its old name is a live alias — incoming rows map forward
+        // through alignToRenames); one that was DROPPED stays dropped
+        val ghosts = snap.renames.values.flatten.toSet ++ snap.retired
+        val missing = RecordCodec.V2Columns.filter { case (n, _) =>
+          !snap.schema.fieldNames.contains(n) && !ghosts.contains(n)
+        }
+        if (missing.isEmpty) snap.schema
+        else StructType(snap.schema.fields ++ missing.map {
           case (n, t) => StructField(n, sparkTypeOf(t), nullable = true)
         })
-      else snap.schema
+      } else snap.schema
 
     def physicalOf(schema: StructType): StructType =
       StructType(schema.fields ++ Array(
@@ -780,7 +787,21 @@ object CdcIngest {
 
     def readTarget(files: Seq[DataFileEntry], dels: Seq[graft.lake.DeleteFileEntry],
         physical: StructType): DataFrame =
-      table.readFiles(spark, physical, files, dels)
+      table.readFiles(spark, physical, files, dels, snap.renames)
+
+    /** Map incoming source columns forward through the table's rename
+      * chain: the decoder always emits the ORIGINAL event-field names, so
+      * a renamed table column claims the first former name present in the
+      * source frame (Iceberg name-mapping analog). Dropped columns need no
+      * mapping — the schema projection simply never selects them. */
+    def alignToRenames(src: DataFrame): DataFrame =
+      snap.renames.foldLeft(src) { case (df, (cur, formers)) =>
+        if (df.columns.contains(cur)) df
+        else formers.find(df.columns.contains) match {
+          case Some(f) => df.withColumnRenamed(f, cur)
+          case None    => df
+        }
+      }
 
     /** write bucket-partitioned files; relies on merge inputs being
       * repartition(numBuckets, url)-aligned so `_bucket == partition id`
@@ -813,7 +834,7 @@ object CdcIngest {
         val (winnersDf, keyTotals) = dedupViaKeyBroadcast(
           spark, segments.map(_._2), config.saltBuckets, numBuckets,
           segmentsPerKeyTask = config.segmentsPerKeyTask)
-        val src = winnersDf
+        val src = alignToRenames(winnersDf)
           .observe(obs,
             count(lit(1)).as("winners"),
             sum(when(col("op") === ChangeEvent.OpDelete, 1L).otherwise(0L)).as("deletes"),
@@ -868,7 +889,7 @@ object CdcIngest {
             snap.files.filter(f => touched.contains(f.bucket)), touchedDels,
             physicalOf(schema))
             .repartition(numBuckets, col("url"))
-          val src = winners.drop("_n", LakeTable.BucketCol)
+          val src = alignToRenames(winners.drop("_n", LakeTable.BucketCol))
           val (files, carriedFiles, carriedDels2, newDels2, strategy) =
             if (mor) {
               // ---- merge-on-read: write ONLY the rows the batch changed,
@@ -933,7 +954,8 @@ object CdcIngest {
       watermarkSegment = segTo, schemaJson = newSchema.json,
       numBuckets = numBuckets, files = carried ++ newFiles,
       lineage = lineageRows, metrics = metrics,
-      deleteFiles = carriedDels ++ newDels)
+      deleteFiles = carriedDels ++ newDels,
+      renames = snap.renames, retired = snap.retired)
     // write-audit-publish: park the candidate where readers cannot see it;
     // the caller audits it and then publishes or discards (LakeTable WAP)
     if (stageOnly) table.stage(out) else table.commit(out)
@@ -1052,7 +1074,7 @@ object CdcIngest {
     // the rewritten buckets come out as pure base and their equality-delete
     // files drop out of the new snapshot below
     val all = table.readFiles(spark, physical, srcFiles,
-      snap.deleteFiles.filter(d => targetBuckets(d.bucket)))
+      snap.deleteFiles.filter(d => targetBuckets(d.bucket)), snap.renames)
     val kept = tombstoneBefore match {
       case Some(h) => all.filter(!col(LakeTable.DeletedCol) || col("warc_ts") >= lit(h))
       case None    => all
@@ -1116,7 +1138,8 @@ object CdcIngest {
           "abandonedBuckets" -> (targetBuckets.size - keep.size).toLong),
         // compacted buckets' MoR deltas are folded into the rewrite: their
         // delete files leave the manifest (abandoned buckets keep theirs)
-        deleteFiles = cur.deleteFiles.filterNot(d => keep(d.bucket)))
+        deleteFiles = cur.deleteFiles.filterNot(d => keep(d.bucket)),
+        renames = cur.renames, retired = cur.retired)
       table.tryCommit(out) match {
         case Some(committed) =>
           drop(newFiles.filterNot(f => keep(f.bucket)))
@@ -1163,7 +1186,8 @@ object CdcIngest {
       StructField(LakeTable.SeqCol, LongType), StructField(LakeTable.DeletedCol, BooleanType)))
     // delete-aware read: the full rewrite folds any stacked MoR deltas, so
     // the new layout starts with pure base files and no delete files
-    val all = table.readFiles(spark, physical, snap.files, snap.deleteFiles)
+    val all = table.readFiles(spark, physical, snap.files, snap.deleteFiles,
+      snap.renames)
     val tmpDir = table.root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     val w = withUrlBloom(all
       .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(newBuckets))
@@ -1184,7 +1208,8 @@ object CdcIngest {
       metrics = Map[String, Any](
         "events" -> 0L, "upserts" -> 0L, "deletes" -> 0L,
         "rebucketFrom" -> snap.numBuckets.toLong,
-        "rebucketTo" -> newBuckets.toLong))
+        "rebucketTo" -> newBuckets.toLong),
+      renames = snap.renames, retired = snap.retired)
     table.tryCommit(out) match {
       case Some(committed) => committed
       case None =>

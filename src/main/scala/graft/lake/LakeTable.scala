@@ -84,6 +84,16 @@ final case class Snapshot(
     lineage: Seq[Map[String, Any]],
     metrics: Map[String, Any],
     deleteFiles: Seq[DeleteFileEntry] = Seq.empty,
+    // Iceberg field-ID rename analog: current column name → its former
+    // PHYSICAL names, most recent first (a→b→c records c → [b, a]). Data
+    // files written before a rename keep the old physical column; the read
+    // path coalesces the alias chain back into the current name, so a
+    // rename is a metadata-only commit that never rewrites a file.
+    renames: Map[String, Seq[String]] = Map.empty,
+    // physical names of DROPPED columns (incl. their alias chains). Files
+    // on disk still carry these columns, so re-adding such a name would
+    // silently resurrect dropped data — the commit gate refuses it.
+    retired: Seq[String] = Seq.empty,
     // populated on read of sharded snapshots / by commit; derived, never
     // authored by callers (commit ignores and recomputes it)
     manifests: Seq[ManifestRef] = Seq.empty) {
@@ -214,6 +224,11 @@ final class LakeTable(val root: Path) {
       lineage = node.get("lineage").elements().asScala.map(jsonToMap).toSeq,
       metrics = jsonToMap(node.get("metrics")),
       deleteFiles = deleteFiles,
+      renames = Option(node.get("renames")).map(_.fields().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+      }.toMap).getOrElse(Map.empty),
+      retired = Option(node.get("retired")).map(
+        _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
       manifests = refs)
   }
 
@@ -304,8 +319,39 @@ final class LakeTable(val root: Path) {
     // pre-evolution snapshot legitimately restores its narrower schema.
     if (!allowSchemaRegression && listVersions().nonEmpty) {
       val cur = currentSnapshot()
-      if (cur.version < snap.version && cur.schemaJson != snap.schemaJson)
-        graft.schema.SchemaValidator.requireCompatible(cur.schema, snap.schema)
+      if (cur.version < snap.version && cur.schemaJson != snap.schemaJson) {
+        // View the current schema through the new snapshot's DECLARED
+        // renames (immediate former name → current name) and drops
+        // (retired physical names), then require the remainder to be a
+        // plain additive/promotable evolution. An undeclared drop or
+        // rename still fails closed exactly as before.
+        val fwd = snap.renames.collect {
+          case (to, formers) if formers.nonEmpty => formers.head -> to
+        }
+        val adjusted = StructType(cur.schema.fields.flatMap { f =>
+          if (snap.retired.contains(f.name) &&
+              !snap.schema.fieldNames.contains(f.name)) None
+          else fwd.get(f.name) match {
+            case Some(to) if !cur.schema.fieldNames.contains(to) =>
+              Some(f.copy(name = to))
+            case _ => Some(f)
+          }
+        })
+        graft.schema.SchemaValidator.requireCompatible(adjusted, snap.schema)
+        // resurrection guard: a genuinely NEW column must not reuse a
+        // physical name that old data files still carry (a dropped
+        // column or a live rename alias) — reading it would silently
+        // surface dead data under the new column
+        val ghosts = snap.renames.values.flatten.toSet ++ snap.retired
+        snap.schema.fieldNames.filterNot(adjusted.fieldNames.contains)
+          .find(ghosts.contains).foreach { n =>
+            throw new IllegalArgumentException(
+              s"cannot add column '$n': data files may still carry a " +
+                "dropped/renamed physical column of that name — pick a " +
+                "fresh name (Iceberg avoids this with field IDs; plain " +
+                "parquet name-based reads cannot)")
+          }
+      }
     }
     val refs = writeManifests(snap)
     val json = renderSnapshot(snap, refs)
@@ -478,7 +524,7 @@ final class LakeTable(val root: Path) {
         snap.deleteFiles.filter(d => bs.contains(d.bucket)))
       case None => (snap.files, snap.deleteFiles)
     }
-    readFiles(spark, physicalSchema(snap), sel, dels)
+    readFiles(spark, physicalSchema(snap), sel, dels, snap.renames)
   }
 
   /** Read an explicit data-file selection through `schema`, applying
@@ -499,7 +545,28 @@ final class LakeTable(val root: Path) {
     * clears the delete files, which is the maintenance lever that bounds
     * both stacks. */
   def readFiles(spark: SparkSession, schema: StructType,
-      sel: Seq[DataFileEntry], dels: Seq[DeleteFileEntry]): DataFrame = {
+      sel: Seq[DataFileEntry], dels: Seq[DeleteFileEntry],
+      renames: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    // Rename-aware wrapper (zero-cost when no live rename touches this
+    // schema): files written before a rename carry the OLD physical column
+    // name and null-fill the current one, so the read widens its schema
+    // with the alias chain and coalesces it back into the current name —
+    // any file populates at most one link of the chain. Alias fields use
+    // the CURRENT (possibly promoted) type: the parquet reader performs
+    // the same scan-upcast it does for the current name.
+    val live = renames.filter { case (cur, _) => schema.fieldNames.contains(cur) }
+    if (live.nonEmpty) {
+      val aliasFields = live.toSeq.sortBy(_._1).flatMap { case (cur, formers) =>
+        formers.map(a => StructField(a, schema(cur).dataType, nullable = true))
+      }
+      val wide = StructType(schema.fields ++ aliasFields)
+      return readFiles(spark, wide, sel, dels).select(schema.fields.map { f =>
+        live.get(f.name) match {
+          case Some(formers) => coalesce((f.name +: formers).map(col): _*).as(f.name)
+          case None          => col(f.name)
+        }
+      }.toSeq: _*)
+    }
     if (sel.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val selBuckets = sel.map(_.bucket).toSet
@@ -811,7 +878,7 @@ final class LakeTable(val root: Path) {
     // delete keys apply per url, so every delete file of the selected
     // buckets applies even when some of its bucket's data files are pruned
     val raw = readFiles(spark, physicalSchema(snap), sel,
-      snap.deleteFiles.filter(d => sel.exists(_.bucket == d.bucket)))
+      snap.deleteFiles.filter(d => sel.exists(_.bucket == d.bucket)), snap.renames)
     raw.filter(!col(DeletedCol) &&
         col("warc_ts") >= lit(inst(loMicros)) && col("warc_ts") <= lit(inst(hiMicros)))
       .select(cols: _*)
@@ -831,13 +898,18 @@ final class LakeTable(val root: Path) {
     * range. Bounds are passed in the stat's string domain ("long" /
     * "double" stats compare numerically). */
   def filesInColRange(snap: Snapshot, column: String,
-      lo: Option[String], hi: Option[String]): Seq[DataFileEntry] =
+      lo: Option[String], hi: Option[String]): Seq[DataFileEntry] = {
+    // pre-rename files record their stat under the old PHYSICAL name —
+    // consult the alias chain so renamed columns keep pruning; a file with
+    // no stat under any name stays un-pruned (degrades to correct)
+    val names = column +: snap.renames.getOrElse(column, Seq.empty)
     snap.files.filter { f =>
-      f.colStats.get(column).forall { st =>
+      names.iterator.flatMap(n => f.colStats.get(n)).nextOption().forall { st =>
         lo.forall(l => statCompare(st.typ, st.max, l) >= 0) &&
           hi.forall(h => statCompare(st.typ, st.min, h) <= 0)
       }
     }
+  }
 
   /** Predicate-pruned live read on a stats-carrying column: plan the file
     * set from the manifest ([[filesInColRange]]), then apply the residual
@@ -849,7 +921,7 @@ final class LakeTable(val root: Path) {
     val cols = snap.schema.fieldNames.map(col).toSeq
     val sel = filesInColRange(snap, column, lo, hi)
     val raw = readFiles(spark, physicalSchema(snap), sel,
-      snap.deleteFiles.filter(d => sel.exists(_.bucket == d.bucket)))
+      snap.deleteFiles.filter(d => sel.exists(_.bucket == d.bucket)), snap.renames)
     val dt = snap.schema(column).dataType
     val c = col(column)
     val live = raw.filter(!col(DeletedCol))
@@ -910,7 +982,75 @@ final class LakeTable(val root: Path) {
       schemaJson = widened.json, numBuckets = cur.numBuckets,
       files = cur.files, lineage = Seq.empty,
       metrics = Map[String, Any]("events" -> 0L, "upserts" -> 0L, "deletes" -> 0L),
-      deleteFiles = cur.deleteFiles))
+      deleteFiles = cur.deleteFiles, renames = cur.renames, retired = cur.retired))
+  }
+
+  // ---- rename / drop evolution (Iceberg field-ID analog) -------------
+
+  /** Columns the CDC engine itself keys on: `url` is the merge/delete-file
+    * identity and `warc_ts` the LWW order + zone-map column — renaming or
+    * dropping either would silently break every existing delete file and
+    * manifest stat, so both are structural and refused. */
+  private val StructuralCols = Set("url", "warc_ts")
+
+  /** Rename a column as a METADATA-ONLY commit (Iceberg `ALTER TABLE …
+    * RENAME COLUMN` analog — zero file rewrites at any scale). Existing
+    * files keep the old physical column; the snapshot records the alias
+    * chain and every read coalesces it back (see [[readFiles]]). Incoming
+    * batches that still produce the old source name are mapped forward by
+    * the ingest path. The old name stays reserved — a later column may not
+    * reuse it (commit-gate resurrection guard). */
+  def renameColumn(from: String, to: String): Snapshot = {
+    val cur = currentSnapshot()
+    require(!StructuralCols.contains(from),
+      s"'$from' is structural to the CDC engine (merge key / LWW order) and cannot be renamed")
+    require(cur.schema.fieldNames.contains(from),
+      s"no column '$from' (have: ${cur.schema.fieldNames.mkString(", ")})")
+    require(to.nonEmpty && to.head.isLetter &&
+        to.forall(c => c.isLetterOrDigit || c == '_'),
+      s"invalid column name '$to' (want [A-Za-z][A-Za-z0-9_]*)")
+    require(!cur.schema.fieldNames.contains(to), s"column '$to' already exists")
+    val ghosts = cur.renames.values.flatten.toSet ++ cur.retired
+    require(!ghosts.contains(to),
+      s"'$to' is a retired/alias physical name still present in data files")
+    val renamed = StructType(cur.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    commit(Snapshot(
+      version = cur.version + 1, batchId = s"rename-$from-$to",
+      parentVersion = cur.version, watermarkSegment = cur.watermarkSegment,
+      schemaJson = renamed.json, numBuckets = cur.numBuckets,
+      files = cur.files, lineage = Seq.empty,
+      metrics = Map[String, Any]("events" -> 0L, "upserts" -> 0L, "deletes" -> 0L),
+      deleteFiles = cur.deleteFiles,
+      renames = (cur.renames - from) +
+        (to -> (from +: cur.renames.getOrElse(from, Seq.empty))),
+      retired = cur.retired))
+  }
+
+  /** Drop a column as a METADATA-ONLY commit (Iceberg `ALTER TABLE … DROP
+    * COLUMN` analog). Files are untouched — readers simply stop selecting
+    * the column — and all its physical names (the column plus its rename
+    * alias chain) are RETIRED so no later add can resurrect the dead data
+    * still sitting in old files. Time travel to a pre-drop version reads
+    * the column normally (each snapshot carries its own schema). */
+  def dropColumn(name: String): Snapshot = {
+    val cur = currentSnapshot()
+    require(!StructuralCols.contains(name),
+      s"'$name' is structural to the CDC engine (merge key / LWW order) and cannot be dropped")
+    require(cur.schema.fieldNames.contains(name),
+      s"no column '$name' (have: ${cur.schema.fieldNames.mkString(", ")})")
+    require(cur.schema.fields.length > StructuralCols.size,
+      "refusing to drop: table would be left with only structural columns")
+    val narrowed = StructType(cur.schema.fields.filterNot(_.name == name))
+    commit(Snapshot(
+      version = cur.version + 1, batchId = s"drop-$name",
+      parentVersion = cur.version, watermarkSegment = cur.watermarkSegment,
+      schemaJson = narrowed.json, numBuckets = cur.numBuckets,
+      files = cur.files, lineage = Seq.empty,
+      metrics = Map[String, Any]("events" -> 0L, "upserts" -> 0L, "deletes" -> 0L),
+      deleteFiles = cur.deleteFiles,
+      renames = cur.renames - name,
+      retired = (cur.retired ++ (name +: cur.renames.getOrElse(name, Seq.empty))).distinct))
   }
 
   // ---- named refs (Iceberg tag analog) ------------------------------
@@ -989,7 +1129,9 @@ final class LakeTable(val root: Path) {
       lineage = Seq.empty,
       metrics = Map[String, Any]("events" -> 0L, "upserts" -> 0L,
         "deletes" -> 0L, "rolledBackTo" -> toVersion),
-      deleteFiles = target.deleteFiles), allowSchemaRegression = true)
+      deleteFiles = target.deleteFiles,
+      renames = target.renames, retired = target.retired),
+      allowSchemaRegression = true)
   }
 
   def expireSnapshots(keepLast: Int): (Seq[Long], Seq[Path]) = {
@@ -1184,6 +1326,20 @@ object LakeTable {
     }
     val met = node.putObject("metrics")
     s.metrics.foreach { case (k, v) => putAny(met, k, v) }
+    // rename/drop evolution state — serialized only when present, so every
+    // pre-rename snapshot (and the byte-stable metadata-table oracles that
+    // re-parse it) is unchanged
+    if (s.renames.nonEmpty) {
+      val rn = node.putObject("renames")
+      s.renames.toSeq.sortBy(_._1).foreach { case (cur, formers) =>
+        val arr = rn.putArray(cur)
+        formers.foreach(arr.add)
+      }
+    }
+    if (s.retired.nonEmpty) {
+      val ra = node.putArray("retired")
+      s.retired.foreach(ra.add)
+    }
     Mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
 

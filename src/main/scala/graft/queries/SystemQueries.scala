@@ -565,6 +565,38 @@ object SystemQueries {
     * static SQL can glob. Skip-if-current via the spec-fingerprint marker
     * discipline of [[writeTruth]]/[[metaTable]]. */
   private val DvRoot = "/tmp/graft-cdc-dvtable"
+  /** Rename/drop evolution under the driver oracle: replay the first half
+    * of the feed, RENAME `lang` → `language` and DROP `html` (both
+    * metadata-only commits — zero file rewrites), then replay the second
+    * half (which also crosses the v2 additive evolution) through
+    * merge-on-read — so the final table mixes base files carrying the OLD
+    * physical column name with delta files carrying the new one, stacked
+    * under equality deletes. The read must coalesce the alias chain, the
+    * ingest must map the decoder's original field names forward, and the
+    * result must STILL equal DuckDB's independent LWW fold of the truth
+    * stream (with `lang` projected under the new name). A broken alias
+    * read nulls `language` for every pre-rename winner; a broken source
+    * alignment nulls it for every post-rename one — either breaks the hash. */
+  def cdcRenameEvolution(s: SparkSession): DataFrame = {
+    writeTruth(s)
+    val work = Files.createTempDirectory("cdcren")
+    val feedDir = work.resolve("feed").toString
+    FeedGen.writeSegments(CdcSpec, feedDir)
+    val table = LakeTable.create(work.resolve("table").toString,
+      CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
+    val cfg = IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 1)
+    val segs = CdcIngest.listSegments(feedDir, s.sessionState.newHadoopConf())
+    val (first, rest) = segs.splitAt(segs.size / 2)
+    first.foreach(sg => CdcIngest.applyBatch(s, table, Seq(sg), cfg))
+    table.renameColumn("lang", "language")
+    table.dropColumn("html")
+    rest.foreach(sg =>
+      CdcIngest.applyBatch(s, table, Seq(sg), cfg.copy(mergeOnRead = true)))
+    table.read(s).select(col("url"), col("warc_ts"), col("language"),
+      md5(col("text").cast("binary")).as("text_fp"),
+      col("fetch_status"), col("content_len"))
+  }
+
   private def dvTable(s: SparkSession): LakeTable = synchronized {
     val root = java.nio.file.Paths.get(DvRoot)
     val marker = root.resolve("_graft_spec")
@@ -620,6 +652,11 @@ object SystemQueries {
     // the same contract with POSITIONAL deletion vectors; oracle = DuckDB
     // independently re-applying the vectors to the raw on-disk files
     "cdc_dv_replay" -> ((s, dir) => finalState(s, dvTable(s))),
+
+    // rename/drop schema evolution mid-replay (metadata-only ALTERs; old
+    // files keep old physical names, read coalesces the alias chain);
+    // oracle = the SAME truth fold with lang projected under the new name
+    "cdc_rename_evolution" -> ((s, dir) => cdcRenameEvolution(s)),
 
     // binary WAL decode stats: the codegen'd decode_record path aggregated
     // per (op, schema_version), hash-checked vs DuckDB grouping the truth
@@ -1062,6 +1099,14 @@ object SystemQueries {
     // engine code involved.
     "cdc_replay_state" -> ReplayStateSql,
     "cdc_stream_replay" -> ReplayStateSql,
+    // rename evolution: identical truth fold, lang under its current name
+    "cdc_rename_evolution" ->
+      s"""WITH w AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+         |  FROM read_parquet('$TruthGlob'))
+         |SELECT url, warc_ts, lang AS language, md5(text) AS text_fp,
+         |  fetch_status, content_len
+         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     // the torn-tail replay folds ONLY the surviving stream prefix (see
     // TornCutSeq's scaladoc for the seq-expresses-position argument)
