@@ -905,6 +905,54 @@ object PipelineQueries {
         .toDF("lang", "r", "c", "cnt")
     }),
 
+    // KMV bottom-k sketch + Theta-style SET operations across slices —
+    // the fourth mergeable sketch (HLL counts, Bloom tests membership,
+    // CMS estimates frequency; KMV is the one that can INTERSECT): each
+    // language's word-3-gram shingle set is summarized as its k=256
+    // smallest distinct 60-bit hashes (graft.ops.KmvSketch — ≤k longs of
+    // partial state per group per task, ONE shipped row per (lang, task),
+    // sorted-merge+truncate combine; deterministic in the input SET, so
+    // partitioning/duplication-invariant), then every language PAIR's
+    // union sketch (k smallest of the merged sketches) yields an
+    // integer-exact overlap measurement: |union∩A∩B| over a uniform
+    // size-k sample of A∪B estimates cross-lingual shingle contamination
+    // without ever joining the corpora. The pair join is a broadcast
+    // cross of |langs| sketch rows — never data-sized. All outputs are
+    // integers (counts, the kth order statistic, ppm floor-division);
+    // DuckDB rebuilds the identical sketches relationally (row_number
+    // over hash order ≤ k). Float Jaccard/cardinality estimates are
+    // derived via KmvSketch.estimate/overlap and quality-gated in
+    // KmvSketchSpec, never hash-compared.
+    "ta_kmv_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val K = 256
+      val toks = split(col("text"), " ")
+      val sk = t(s, dir, "documents")
+        .select(col("lang"), toks.as("ts"))
+        .select(col("lang"),
+          explode(when(size(col("ts")) >= 3,
+            transform(sequence(lit(1), size(col("ts")) - 2),
+              i => conv(substring(md5s(concat_ws(" ", element_at(col("ts"), i),
+                element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))),
+                1, 15), 16, 10).cast("long")))
+            .otherwise(array().cast("array<long>"))).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.ops.KmvSketch(K).toColumn.name("sk"))
+        .toDF("lang", "sk")
+      val a = sk.select(col("lang").as("lang_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("lang").as("lang_b"), col("sk").as("sk_b"))
+      a.crossJoin(broadcast(b)).where(col("lang_a") < col("lang_b"))
+        .withColumn("u",
+          slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, K))
+        .select(col("lang_a"), col("lang_b"),
+          size(col("u")).cast("long").as("k_union"),
+          element_at(col("u"), size(col("u"))).as("union_kth"),
+          size(array_intersect(array_intersect(col("u"), col("sk_a")),
+            col("sk_b"))).cast("long").as("n_shared"))
+        .withColumn("jaccard_ppm", expr("(n_shared * 1000000) div k_union"))
+    }),
+
     // deterministic split assignment: every doc gets a stable
     // train/val/test label from a salted id hash — reproducible across
     // runs and engines, rebalanced only by rotating the salt (the
@@ -1825,6 +1873,36 @@ object PipelineQueries {
         |  FROM (SELECT lang, h, unnest([0,1,2,3]) AS i FROM h))
         |SELECT lang, CAST(r AS INT) AS r, c, CAST(count(*) AS BIGINT) AS cnt
         |FROM cells GROUP BY lang, r, c""".stripMargin,
+    // the oracle rebuilds each lang's EXACT bottom-k sketch relationally
+    // (k smallest distinct 60-bit shingle hashes via row_number), then the
+    // pair union sketches and the same integer overlap arithmetic — a KMV
+    // sketch is a deterministic function of the input set, so the two
+    // engines must agree value-for-value
+    "ta_kmv_overlap" ->
+      """WITH toks AS (SELECT lang, string_split(text, ' ') AS ts FROM documents),
+        |h AS (SELECT DISTINCT lang,
+        |        CAST('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)
+        |             AS BIGINT) AS h
+        |      FROM (SELECT lang, ts, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS i
+        |            FROM toks)),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT lang, h FROM r WHERE rn <= 256),
+        |langs AS (SELECT DISTINCT lang FROM sk),
+        |pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+        |          FROM langs a JOIN langs b ON a.lang < b.lang),
+        |uu AS (SELECT p.lang_a, p.lang_b, s.h,
+        |         max(CASE WHEN s.lang = p.lang_a THEN 1 ELSE 0 END) AS ina,
+        |         max(CASE WHEN s.lang = p.lang_b THEN 1 ELSE 0 END) AS inb
+        |       FROM pairs p JOIN sk s ON s.lang IN (p.lang_a, p.lang_b)
+        |       GROUP BY 1, 2, 3),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY h) AS rn
+        |      FROM uu)
+        |SELECT lang_a, lang_b,
+        |  CAST(count(*) AS BIGINT) AS k_union,
+        |  CAST(max(h) AS BIGINT) AS union_kth,
+        |  CAST(sum(ina * inb) AS BIGINT) AS n_shared,
+        |  CAST((sum(ina * inb) * 1000000) // count(*) AS BIGINT) AS jaccard_ppm
+        |FROM u WHERE rn <= 256 GROUP BY 1, 2""".stripMargin,
     "ta_split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 2) < 'e6' THEN 'train'
