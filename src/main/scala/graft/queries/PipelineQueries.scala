@@ -129,6 +129,41 @@ object PipelineQueries {
       .distinct()
   }
 
+  /** Incremental near-dup detection — the CDC × dedup composition the
+    * 100-TB pipeline actually runs: a NEW batch (docs with doc_id % 5 == 0,
+    * the deterministic stand-in for the day's delta) is LSH-probed against
+    * the EXISTING indexed corpus (the other 80%) without ever generating
+    * new×new or old×old pairs. At scale the index side's band keys are a
+    * precomputed bucketed table maintained by the ingest path; each
+    * incremental batch recomputes only ITS OWN signatures and probes the
+    * index with a hash join on (band, key) at batch-size cost —
+    * re-deduplicating the whole corpus per batch (what [[minhashPairs]]
+    * would do) is the O(corpus²-ish) anti-pattern this avoids. Candidates
+    * are then CONFIRMED by full-signature agreement (integer count of
+    * matching hashes out of 8; ≥4 ≈ estimated Jaccard ≥ 0.5) — a
+    * candidate-sized join, never corpus-sized. */
+  private def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir).localCheckpoint()
+    val isNew = col("doc_id") % 5 === 0
+    def banded(df: DataFrame) = df.select(col("doc_id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"),
+          md5s(concat(col(s"h${2 * k}"), col(s"h${2 * k + 1}"))).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = banded(sig.filter(isNew)).as("n")
+      .join(banded(sig.filter(!isNew)).as("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val agree = (0 until 8)
+      .map(j => when(col(s"sn.h$j") === col(s"so.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sig.as("sn"), col("new_id") === col("sn.doc_id"))
+      .join(sig.as("so"), col("old_id") === col("so.doc_id"))
+      .select(col("new_id"), col("old_id"), agree.cast("long").as("agree"))
+      .withColumn("confirmed", col("agree") >= 4)
+  }
+
   /** 8-hash MinHash signature per doc (min of seeded md5 over shingles). */
   private def minhashSig(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir)
@@ -155,6 +190,24 @@ object PipelineQueries {
        |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
        |FROM banded x JOIN banded y
        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin
+
+  // the oracle rebuilds the same sketches, band-probes only the delta side
+  // against the index side, and confirms by the identical integer
+  // hash-agreement count
+  private val IncrementalLshSql =
+    s"""WITH sig AS ($MinhashSigSql),
+       |banded AS (
+       |  ${(0 until 4).map(k =>
+          s"SELECT doc_id, $k AS band, md5(h${2 * k} || h${2 * k + 1}) AS key FROM sig")
+          .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |         FROM banded n JOIN banded o ON n.band = o.band AND n.key = o.key
+       |         WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0)
+       |SELECT new_id, old_id, agree, agree >= 4 AS confirmed FROM (
+       |  SELECT c.new_id, c.old_id,
+       |    CAST(${(0 until 8).map(j => s"(sn.h$j = so.h$j)::INT").mkString(" + ")} AS BIGINT) AS agree
+       |  FROM cand c JOIN sig sn ON sn.doc_id = c.new_id
+       |              JOIN sig so ON so.doc_id = c.old_id)""".stripMargin
 
   private val CcCtesSql =
     s"""pairs AS ($MinhashPairsSql),
@@ -660,6 +713,11 @@ object PipelineQueries {
     "dd_minhash_sig" -> ((s, dir) => minhashSig(s, dir)),
 
     "dd_minhash_pairs" -> ((s, dir) => minhashPairs(s, dir)),
+
+    // incremental near-dup: probe only the new batch's band keys against
+    // the indexed corpus — batch-sized work per ingest, never a corpus
+    // re-dedup; candidates confirmed by integer signature agreement
+    "dd_incremental_lsh" -> ((s, dir) => incrementalLsh(s, dir)),
 
     "dd_simhash" -> ((s, dir) => {
       val tokh = t(s, dir, "documents")
@@ -1714,6 +1772,7 @@ object PipelineQueries {
         |FROM toks t LEFT JOIN dw USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
     "dd_minhash_sig" -> MinhashSigSql,
     "dd_minhash_pairs" -> MinhashPairsSql,
+    "dd_incremental_lsh" -> IncrementalLshSql,
     "dd_dup_clusters" ->
       s"""WITH RECURSIVE $CcCtesSql
          |SELECT id AS doc_id, MIN(lbl) AS cluster_rep, (id = MIN(lbl)) AS keep

@@ -386,6 +386,27 @@ class QueriesSpec extends SparkTestBase {
         s"cluster $rep must keep exactly its rep") }
   }
 
+  test("spot: dd_incremental_lsh probes only the delta against the index") {
+    val rows = SparkEntry.queries("dd_incremental_lsh")(spark, sf).collect()
+    assert(rows.nonEmpty, "the synthetic corpus must yield cross-split candidates")
+    rows.foreach { r =>
+      val (nid, oid, agree, conf) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(nid % 5 == 0, s"new_id $nid is not in the delta split")
+      assert(oid % 5 != 0, s"old_id $oid is not in the index split")
+      // LSH candidacy guarantees at least one shared 2-hash band
+      assert(agree >= 2 && agree <= 8, s"agree $agree out of band for ($nid,$oid)")
+      assert(conf == (agree >= 4), s"confirmed flag inconsistent for ($nid,$oid)")
+    }
+    // every confirmed candidate must be a real LSH pair of the full-corpus
+    // query too (the incremental path finds a subset, never an invention)
+    val full = SparkEntry.queries("dd_minhash_pairs")(spark, sf).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(full.contains(Set(r.getLong(0), r.getLong(1))),
+        s"(${r.getLong(0)},${r.getLong(1)}) not found by the full-corpus LSH") }
+  }
+
   test("spot: ta_corpus_filter agrees with its sub-pipelines doc-by-doc") {
     val q = SparkEntry.queries
     val statuses = q("ta_corpus_filter")(spark, sf).collect()
