@@ -1269,6 +1269,38 @@ object PipelineQueries {
         .where(col("df") >= 5)
     }),
 
+    // Conjunctive (AND) search over the inverted index — the index's USE
+    // side: the probe set is the C(4,2) pairs of the corpus's 4 highest-df
+    // terms (deterministic total order: df desc, term), each answered by
+    // joining the two terms' POSTING LISTS on doc_id — posting-sized work,
+    // never a corpus scan. At 100 TB the postings table is bucketed by
+    // term, so the initial term filter is a pruned read and the doc_id
+    // join co-locates within the pair. The ≤6-row query relation drives
+    // everything via broadcast; ranking = tf sum, top 5 per query under a
+    // total order (score desc, doc_id).
+    "ta_index_search" -> ((s, dir) => {
+      val perDoc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // reused: term pick + both probe sides
+      val topTerms = perDoc.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(4).select(col("term"))
+      val queries = topTerms.as("a").crossJoin(broadcast(topTerms.as("b")))
+        .where(col("a.term") < col("b.term"))
+        .select(col("a.term").as("t1"), col("b.term").as("t2"))
+      val hits = broadcast(queries)
+        .join(perDoc.as("p1"), col("p1.term") === col("t1"))
+        .join(perDoc.as("p2"),
+          col("p2.term") === col("t2") && col("p2.doc_id") === col("p1.doc_id"))
+        .select(col("t1"), col("t2"), col("p1.doc_id").as("doc_id"),
+          (col("p1.tf") + col("p2.tf")).as("score"))
+      val w = Window.partitionBy(col("t1"), col("t2"))
+        .orderBy(col("score").desc, col("doc_id"))
+      hits.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+    }),
+
     // TF-IDF top terms per document: the same inverted-index statistics
     // joined back (broadcast — the df-truncated vocab is model-sized),
     // score = tf_doc * round(ln(N/df)·1e6) in integer micro-units (the
@@ -2042,6 +2074,25 @@ object PipelineQueries {
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
         |       CAST(sum(tf_doc) AS BIGINT) AS tf
         |FROM pd GROUP BY term HAVING count(*) >= 5""".stripMargin,
+    // the oracle answers the same ≤6 conjunctive queries from the same
+    // posting lists — both engines pick the probe terms under the (df
+    // desc, term) total order, so the query set itself is hash-identical
+    "ta_index_search" ->
+      """WITH p AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT term FROM (SELECT term, count(*) AS df FROM p GROUP BY 1)
+        |       ORDER BY df DESC, term LIMIT 4),
+        |q AS (SELECT a.term AS t1, b.term AS t2
+        |      FROM tt a JOIN tt b ON a.term < b.term),
+        |h AS (SELECT q.t1, q.t2, p1.doc_id, p1.tf + p2.tf AS score
+        |      FROM q JOIN p p1 ON p1.term = q.t1
+        |             JOIN p p2 ON p2.term = q.t2 AND p2.doc_id = p1.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY t1, t2
+        |        ORDER BY score DESC, doc_id) AS rk FROM h)
+        |SELECT t1, t2, doc_id, score, rk FROM r WHERE rk <= 5""".stripMargin,
     "ta_tfidf" ->
       """WITH pd AS (
         |  SELECT term, doc_id, count(*) AS tf_doc FROM (

@@ -407,6 +407,34 @@ class QueriesSpec extends SparkTestBase {
         s"(${r.getLong(0)},${r.getLong(1)}) not found by the full-corpus LSH") }
   }
 
+  test("spot: ta_index_search hits truly contain both terms with tf-sum scores") {
+    val rows = SparkEntry.queries("ta_index_search")(spark, sf).collect()
+    assert(rows.nonEmpty, "top-df term pairs must co-occur in some document")
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).distinct
+    assert(pairs.length <= 6, s"more than C(4,2) query pairs: ${pairs.length}")
+    pairs.foreach { case (t1, t2) => assert(t1 < t2, s"pair ($t1,$t2) unordered") }
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    rows.foreach { r =>
+      val (t1, t2, doc, score, rk) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      val toks = texts(doc)
+      val (c1, c2) = (toks.count(_ == t1).toLong, toks.count(_ == t2).toLong)
+      assert(c1 > 0 && c2 > 0, s"doc $doc lacks a query term ($t1,$t2)")
+      assert(score == c1 + c2, s"doc $doc score $score != tf sum ${c1 + c2}")
+      assert(rk >= 1 && rk <= 5, s"rank $rk outside top-5 for doc $doc")
+    }
+    // ranks are dense and ordered by (score desc, doc_id) within each pair
+    rows.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to rs.length),
+        s"ranks not dense for $p")
+      val keys = sorted.map(r => (-r.getLong(3), r.getLong(2))).toSeq
+      assert(keys == keys.sorted, s"rank order violates (score desc, doc_id) for $p")
+    }
+  }
+
   test("spot: ta_corpus_filter agrees with its sub-pipelines doc-by-doc") {
     val q = SparkEntry.queries
     val statuses = q("ta_corpus_filter")(spark, sf).collect()
