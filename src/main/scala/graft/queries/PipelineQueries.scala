@@ -1301,6 +1301,65 @@ object PipelineQueries {
       hits.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
     }),
 
+    // BM25-ranked disjunctive (OR) retrieval — the standard IR ranking
+    // function over the same posting lists, same ≤6 two-term queries as
+    // ta_index_search but with union semantics: a doc matching either term
+    // scores, sum of per-term BM25 contributions (k1=1.2, b=0.75, Lucene
+    // idf = ln(1 + (N-df+0.5)/(df+0.5)) so it never goes negative).
+    // Doc-length norms travel INSIDE the postings (groupBy key includes
+    // the functionally-dependent len — zero extra shuffle), exactly how
+    // real BM25 indexes store norms. Float parity across engines: every
+    // input to the arithmetic is an exact integer, every +,-,*,/ is
+    // IEEE-754 correctly rounded with an identical expression tree on
+    // both sides, and the two non-correctly-rounded steps (ln, the final
+    // round) are micro-unit-rounded — the ta_tfidf/ta_pmi trick. Per-term
+    // scores become exact longs BEFORE the per-doc sum, so aggregation
+    // order cannot matter. Top 5 per query under (score desc, doc_id).
+    "ta_bm25_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val totalToks = docs
+        .select(sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+        .head().getLong(0)
+      val postings = docs
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("len"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("len"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // reused: term pick + the probe side
+      val topTerms = postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(4)
+        .withColumn("idf_micro",
+          round(log(lit(1.0) +
+            (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5))) * 1e6).cast("long"))
+        .select(col("term"), col("idf_micro"))
+      val queries = topTerms.select("term").as("a")
+        .crossJoin(broadcast(topTerms.select("term").as("b")))
+        .where(col("a.term") < col("b.term"))
+        .select(col("a.term").as("t1"), col("b.term").as("t2"))
+      val qterms = queries.select(col("t1"), col("t2"),
+        explode(array(col("t1"), col("t2"))).as("term"))
+      val hits = broadcast(qterms)
+        .join(postings, Seq("term"))
+        .join(broadcast(topTerms), Seq("term"))
+        .withColumn("ts_micro",
+          round(col("idf_micro").cast("double") * lit(2.2) *
+            col("tf").cast("double") /
+            (col("tf").cast("double") + lit(0.3) + lit(0.9) *
+              ((col("len") * lit(nDocs)).cast("double") /
+                lit(totalToks.toDouble)))).cast("long"))
+      val w = Window.partitionBy(col("t1"), col("t2"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      hits.groupBy(col("t1"), col("t2"), col("doc_id"))
+        .agg(sum(col("ts_micro")).as("score_micro"),
+          count(lit(1)).as("terms_hit"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+    }),
+
     // TF-IDF top terms per document: the same inverted-index statistics
     // joined back (broadcast — the df-truncated vocab is model-sized),
     // score = tf_doc * round(ln(N/df)·1e6) in integer micro-units (the
@@ -2093,6 +2152,43 @@ object PipelineQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY t1, t2
         |        ORDER BY score DESC, doc_id) AS rk FROM h)
         |SELECT t1, t2, doc_id, score, rk FROM r WHERE rk <= 5""".stripMargin,
+    // identical IEEE expression tree as the Spark side (left-assoc *, /,
+    // +; exact-integer inputs; ln and the final round micro-unit-rounded)
+    // so every per-term score is the same long before the per-doc sum
+    "ta_bm25_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(len(toks)) AS BIGINT) AS total FROM d),
+        |p AS (SELECT term, doc_id, len, CAST(count(*) AS BIGINT) AS tf FROM (
+        |        SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+        |               unnest(toks) AS term FROM d)
+        |      GROUP BY 1, 2, 3),
+        |tt AS (SELECT term, CAST(round(ln(1.0 +
+        |           (CAST((SELECT n FROM st) AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |           / (CAST(df AS DOUBLE) + 0.5)) * 1e6) AS BIGINT) AS idf_micro
+        |       FROM (SELECT term, count(*) AS df FROM p GROUP BY 1)
+        |       ORDER BY df DESC, term LIMIT 4),
+        |q AS (SELECT a.term AS t1, b.term AS t2
+        |      FROM tt a JOIN tt b ON a.term < b.term),
+        |qt AS (SELECT t1, t2, t1 AS term FROM q
+        |       UNION ALL SELECT t1, t2, t2 AS term FROM q),
+        |h AS (SELECT qt.t1, qt.t2, p.doc_id,
+        |        CAST(round(CAST(tt.idf_micro AS DOUBLE) * 2.2
+        |          * CAST(p.tf AS DOUBLE)
+        |          / (CAST(p.tf AS DOUBLE) + 0.3 + 0.9
+        |             * (CAST(p.len * (SELECT n FROM st) AS DOUBLE)
+        |                / CAST((SELECT total FROM st) AS DOUBLE)))) AS BIGINT)
+        |          AS ts_micro
+        |      FROM qt JOIN p ON p.term = qt.term
+        |              JOIN tt ON tt.term = qt.term),
+        |sc AS (SELECT t1, t2, doc_id,
+        |         CAST(sum(ts_micro) AS BIGINT) AS score_micro,
+        |         CAST(count(*) AS BIGINT) AS terms_hit
+        |       FROM h GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY t1, t2
+        |        ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
+        |SELECT t1, t2, doc_id, score_micro, terms_hit, rk
+        |FROM r WHERE rk <= 5""".stripMargin,
     "ta_tfidf" ->
       """WITH pd AS (
         |  SELECT term, doc_id, count(*) AS tf_doc FROM (

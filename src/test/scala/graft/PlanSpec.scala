@@ -283,6 +283,29 @@ class PlanSpec extends SparkTestBase {
       s"vocab join regressed to a shuffle/cartesian join:\n$plan")
   }
 
+  test("ta_index_search: the query relation drives the postings via broadcast joins") {
+    val plan = planString(SparkEntry.queries("ta_index_search")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"posting-list probe is not broadcast-driven:\n$plan")
+    // the only tolerable non-broadcast join is none at all: the ≤6-row
+    // query relation must never shuffle the postings against themselves
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"postings joined by shuffle/cartesian instead of broadcast probes:\n$plan")
+  }
+
+  test("ta_bm25_search: broadcast probes, and norms ride the postings without an extra exchange") {
+    val plan = planString(SparkEntry.queries("ta_bm25_search")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"BM25 probe is not broadcast-driven:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"BM25 probe regressed to a shuffle/cartesian join:\n$plan")
+    // len lives in the postings groupBy key — there must be no join back
+    // to the documents table for doc lengths (count the scans downstream
+    // of the checkpointed postings: the probe side reuses one relation)
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      s"doc-length join-back exchange crept in:\n$plan")
+  }
+
   test("AsofJoin plans zero joins and one key shuffle (union + window, no pair blow-up)") {
     import spark.implicits._
     val right = (0 until 100).map(i => (s"k${i % 7}", i.toLong, i.toLong, s"v$i"))

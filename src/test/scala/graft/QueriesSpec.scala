@@ -435,6 +435,46 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("spot: ta_bm25_search scores re-derive from raw text via the BM25 formula") {
+    val rows = SparkEntry.queries("ta_bm25_search")(spark, sf).collect()
+    assert(rows.nonEmpty, "top-df term queries must hit some document")
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val nDocs = texts.size.toLong
+    val totalToks = texts.values.map(_.length.toLong).sum
+    def df(term: String): Long = texts.values.count(_.contains(term)).toLong
+    def bm25Micro(term: String, toks: Array[String]): Long = {
+      val tf = toks.count(_ == term).toDouble
+      if (tf == 0) 0L
+      else {
+        val d = df(term).toDouble
+        val idfMicro = math.round(math.log(
+          1.0 + (nDocs.toDouble - d + 0.5) / (d + 0.5)) * 1e6).toDouble
+        val r = (toks.length.toLong * nDocs).toDouble / totalToks.toDouble
+        math.round(idfMicro * 2.2 * tf / (tf + 0.3 + 0.9 * r))
+      }
+    }
+    rows.foreach { r =>
+      val (t1, t2, doc) = (r.getString(0), r.getString(1), r.getLong(2))
+      val (score, hit, rk) = (r.getLong(3), r.getLong(4), r.getInt(5))
+      val toks = texts(doc)
+      val (c1, c2) = (toks.contains(t1), toks.contains(t2))
+      assert(c1 || c2, s"doc $doc matches neither term of ($t1,$t2) — not OR")
+      assert(hit == (if (c1) 1 else 0) + (if (c2) 1 else 0),
+        s"terms_hit $hit wrong for doc $doc")
+      val expect = bm25Micro(t1, toks) + bm25Micro(t2, toks)
+      assert(score == expect, s"doc $doc score $score != recomputed $expect")
+      assert(rk >= 1 && rk <= 5)
+    }
+    rows.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getInt(5))
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to rs.length), s"ranks not dense for $p")
+      val keys = sorted.map(r => (-r.getLong(3), r.getLong(2))).toSeq
+      assert(keys == keys.sorted, s"rank order violates (score desc, doc_id) for $p")
+    }
+  }
+
   test("spot: ta_corpus_filter agrees with its sub-pipelines doc-by-doc") {
     val q = SparkEntry.queries
     val statuses = q("ta_corpus_filter")(spark, sf).collect()
