@@ -307,6 +307,36 @@ object CoreQueries {
         .groupBy(col("cw").as("cohort_week"),
           (col("wk") - col("cw")).as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // hot-key split join — the manual skew cure for fact⋈dimension joins
+    // when a handful of keys dominate (hot-domain traffic): keys whose
+    // frequency exceeds 1.2× the mean (exact integer cross-multiply,
+    // cnt·5·nKeys > 6·total — no float threshold to diverge) take the
+    // BROADCAST path (their dimension rows are by-definition few; the
+    // fact side never shuffles), everything else takes the normal
+    // shuffle join, and the union is semantically invisible — the oracle
+    // is the PLAIN join, which is the whole point of the technique. The
+    // cold path carries a merge hint so the compiled plan is the one
+    // you'd deploy at 100 TB (AQE would locally broadcast the sandbox's
+    // tiny dimension and hide the shape under test).
+    "q25_hotkey_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val freq = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")), count(lit(1))).head()
+      val (total, nKeys) = (tot.getLong(0), tot.getLong(1))
+      val hotKeys = freq
+        .where(col("cnt") * lit(5L * nKeys) > lit(6L * total))
+        .select(col("user_id")).localCheckpoint()
+      val cust = t(s, dir, "customer").withColumnRenamed("c_custkey", "user_id")
+      val hot = ev.join(broadcast(hotKeys), Seq("user_id"), "left_semi")
+        .join(broadcast(cust.join(broadcast(hotKeys), Seq("user_id"), "left_semi")),
+          Seq("user_id"))
+      val cold = ev.join(broadcast(hotKeys), Seq("user_id"), "left_anti")
+        .hint("merge").join(cust.hint("merge"), Seq("user_id"))
+      hot.unionByName(cold)
+        .groupBy(col("user_id"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
     })
   )
 
@@ -452,6 +482,13 @@ object CoreQueries {
         |cohort AS (SELECT user_id, MIN(wk) AS cw FROM weeks GROUP BY 1)
         |SELECT cw AS cohort_week, wk - cw AS week_offset,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM weeks JOIN cohort USING (user_id) GROUP BY 1, 2""".stripMargin
+        |FROM weeks JOIN cohort USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // the oracle is the PLAIN join — the hot/cold split must be
+    // semantically invisible, which is exactly what this checks
+    "q25_hotkey_join" ->
+      """SELECT user_id, c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -306,6 +306,15 @@ class PlanSpec extends SparkTestBase {
       s"doc-length join-back exchange crept in:\n$plan")
   }
 
+  test("q25_hotkey_join: both paths compile as intended — broadcast for hot keys, shuffle for cold") {
+    val plan = planString(SparkEntry.queries("q25_hotkey_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot path is not a broadcast join:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"cold path lost its shuffle-join shape (merge hint ignored?):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+  }
+
   test("AsofJoin plans zero joins and one key shuffle (union + window, no pair blow-up)") {
     import spark.implicits._
     val right = (0 until 100).map(i => (s"k${i % 7}", i.toLong, i.toLong, s"v$i"))

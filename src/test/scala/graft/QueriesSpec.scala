@@ -475,6 +475,21 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("spot: q25_hotkey_join covers every user exactly once, hot set non-empty at this SF") {
+    val rows = SparkEntry.queries("q25_hotkey_join")(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the split is invisible: output covers every event-having user with
+    // the full per-user event count (no row lost or doubled at the seam)
+    val outCnt = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(outCnt == ev, "per-user event counts diverge from the raw fold")
+    // the hotness rule fires at this SF (cnt·5·nKeys > 6·total)
+    val (total, nKeys) = (ev.values.sum, ev.size.toLong)
+    assert(ev.values.exists(c => c * 5 * nKeys > 6 * total),
+      "no hot key at this SF — the broadcast path under test is empty")
+  }
+
   test("spot: ta_corpus_filter agrees with its sub-pipelines doc-by-doc") {
     val q = SparkEntry.queries
     val statuses = q("ta_corpus_filter")(spark, sf).collect()
