@@ -597,6 +597,34 @@ object SystemQueries {
       col("fetch_status"), col("content_len"))
   }
 
+  /** Partition-spec (bucket-count) evolution under the driver oracle:
+    * replay the first half of the feed at [[CdcBuckets]] buckets, REBUCKET
+    * to 2× mid-stream (one distributed rewrite commit — every row hashes
+    * to its new home, MoR deltas fold away, the snapshot flips its own
+    * `numBuckets`), then replay the second half (which also crosses the v2
+    * additive evolution) against the NEW layout. The final state must
+    * still equal DuckDB's independent LWW fold of the truth stream: a
+    * merge that plans buckets with the stale count sends updates to the
+    * wrong files and the per-url winners diverge; a rewrite that drops or
+    * duplicates a row breaks the hash outright. */
+  def cdcRebucket(s: SparkSession): DataFrame = {
+    writeTruth(s)
+    val work = Files.createTempDirectory("cdcrbk")
+    val feedDir = work.resolve("feed").toString
+    FeedGen.writeSegments(CdcSpec, feedDir)
+    val table = LakeTable.create(work.resolve("table").toString,
+      CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
+    val cfg = IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 1)
+    val segs = CdcIngest.listSegments(feedDir, s.sessionState.newHadoopConf())
+    val (first, rest) = segs.splitAt(segs.size / 2)
+    first.foreach(sg => CdcIngest.applyBatch(s, table, Seq(sg), cfg))
+    CdcIngest.rebucket(s, table, CdcBuckets * 2)
+    // no config change: applyBatch plans layout from the SNAPSHOT's
+    // numBuckets, so the second half lands on the new spec automatically
+    rest.foreach(sg => CdcIngest.applyBatch(s, table, Seq(sg), cfg))
+    finalState(s, table)
+  }
+
   private def dvTable(s: SparkSession): LakeTable = synchronized {
     val root = java.nio.file.Paths.get(DvRoot)
     val marker = root.resolve("_graft_spec")
@@ -657,6 +685,11 @@ object SystemQueries {
     // files keep old physical names, read coalesces the alias chain);
     // oracle = the SAME truth fold with lang projected under the new name
     "cdc_rename_evolution" -> ((s, dir) => cdcRenameEvolution(s)),
+
+    // partition-spec (bucket-count) evolution mid-replay: rebucket 2×
+    // between feed halves; oracle = the unchanged truth fold — the layout
+    // change must be logically invisible
+    "cdc_rebucket" -> ((s, dir) => cdcRebucket(s)),
 
     // binary WAL decode stats: the codegen'd decode_record path aggregated
     // per (op, schema_version), hash-checked vs DuckDB grouping the truth
@@ -1099,6 +1132,9 @@ object SystemQueries {
     // engine code involved.
     "cdc_replay_state" -> ReplayStateSql,
     "cdc_stream_replay" -> ReplayStateSql,
+    // rebucket mid-replay: identical truth fold — bucket layout is
+    // physical only, so the oracle is byte-for-byte the replay oracle
+    "cdc_rebucket" -> ReplayStateSql,
     // rename evolution: identical truth fold, lang under its current name
     "cdc_rename_evolution" ->
       s"""WITH w AS (SELECT *,
