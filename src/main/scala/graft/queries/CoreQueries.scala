@@ -337,6 +337,63 @@ object CoreQueries {
       hot.unionByName(cold)
         .groupBy(col("user_id"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    }),
+
+    // gaps-and-islands batch sessionization: consecutive same-user events
+    // ≤24 h apart form one island; island ids are a running sum of break
+    // flags over the (us, event_id) total order — the lag + conditional-
+    // cumsum window pattern, all integer arithmetic. ONE exchange end to
+    // end: both windows and the closing groupBy share the user_id hash
+    // partitioning (the groupBy's (user_id, island) clustering is
+    // satisfied by it — PlanSpec-pinned). At 100 TB this is the shape a
+    // batch sessionizer must have: no self-join, no per-user collect,
+    // state = one sort per partition.
+    "q26_gap_islands" -> ((s, dir) => {
+      val gapUs = 86400000000L // 24 h
+      val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        // null lag (first event of a user) falls to otherwise(1) — exactly
+        // the oracle's CASE WHEN diff <= gap THEN 0 ELSE 1 null semantics
+        .withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(wOrd) <= gapUs, 0L)
+            .otherwise(1L))
+        .withColumn("island", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // bucketed interval self-join — the scalable form of "events within a
+    // time horizon of each event": the naive `b.us BETWEEN a.us AND
+    // a.us+H` self-join plans a per-user nested loop (quadratic in the
+    // hottest user); bucketing us into H-wide epochs turns it into an
+    // EQUI-join on (user_id, bucket) — each anchor probes exactly its own
+    // and the next bucket (a follower within (us, us+H] can live nowhere
+    // else), each candidate pair is matched in exactly one bucket (the
+    // target's), and the range predicate is a residual filter after the
+    // hash match. Buckets via integer `div` — no float division near
+    // bucket boundaries. merge-hinted so the compiled plan is the 100-TB
+    // sort-merge shape (AQE would broadcast the sandbox's tiny side).
+    // The oracle is the PLAIN inequality join — the bucketing must be
+    // semantically invisible, which is exactly what this checks.
+    "q27_range_self_join" -> ((s, dir) => {
+      val h = 3600000000L // 1 h horizon
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val probes = e.select(col("event_id"), col("user_id"), col("us"),
+        explode(array(expr(s"us div $h"), expr(s"us div $h") + 1)).as("bk"))
+      val targets = e.select(col("user_id").as("t_user"),
+        col("us").as("t_us"), expr(s"us div $h").as("bk"))
+      probes.hint("merge")
+        .join(targets.hint("merge"),
+          probes("user_id") === targets("t_user") &&
+            probes("bk") === targets("bk") &&
+            col("t_us") > col("us") && col("t_us") <= col("us") + h)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_follow"))
     })
   )
 
@@ -489,6 +546,28 @@ object CoreQueries {
       """SELECT user_id, c_mktsegment, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q26_gap_islands" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |x AS (SELECT user_id, event_id, us,
+        |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |              <= 86400000000 THEN 0 ELSE 1 END AS brk
+        |  FROM e),
+        |y AS (SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM x)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  MIN(us) AS start_us, MAX(us) AS end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM y GROUP BY 1, 2""".stripMargin,
+    // the oracle is the PLAIN inequality join — the bucket decomposition
+    // must be semantically invisible, which is exactly what this checks
+    "q27_range_self_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_id, CAST(COUNT(*) AS BIGINT) AS n_follow
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.us > a.us AND b.us <= a.us + 3600000000
+        |GROUP BY 1""".stripMargin
   )
 }

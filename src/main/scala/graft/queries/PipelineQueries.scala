@@ -224,6 +224,17 @@ object PipelineQueries {
     * self-join (k docs sharing a shingle → k² candidate rows otherwise). */
   val ShingleDfCap = 50
 
+  /** k-means: cluster count / fixed Lloyd iteration count (see
+    * `dd_kmeans_cluster` — deterministic, no convergence test). */
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  /** SemDeDup cosine threshold: a vector is a semantic duplicate iff some
+    * LOWER-id vector in its k-means cluster has cosine ≥ this (keep-first
+    * semantics, like `dd_para_dedup`). 0.35 sits inside this corpus's
+    * true-neighbor band (cos ≈ 0.33-0.41) so both branches are exercised. */
+  val SemDedupTau = 0.35
+
   // ---- ANN shared machinery -------------------------------------------
 
   /** Embedding dimensionality of the `embeddings` table (TESTDATA.md). */
@@ -429,6 +440,51 @@ object PipelineQueries {
     * [[dotC]] parity three times). */
   private def l2sq(a: Column, b: Column): Column =
     dotC(a, a) - lit(2.0) * dotC(a, b) + dotC(b, b)
+
+  /** Integer-grid Lloyd's k-means over the embedding corpus: final
+    * assignment (vec_id, cluster, d_micro2) after [[KmeansIters]] fixed
+    * iterations from [[KmeansK]] stratified seeds — see the
+    * `dd_kmeans_cluster` scaladoc in [[all]] for the exactness argument
+    * and the 100-TB plan shape. Shared by `dd_kmeans_cluster` (direct
+    * output) and `dd_semdedup` (cluster scoping). */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("double")).as("mv"))
+    val stride = math.max(1L, e.count() / KmeansK)
+    def assign(cent: DataFrame): DataFrame =
+      e.join(broadcast(cent))
+        .groupBy(col("vec_id"), col("mv"))
+        .agg(max_by(col("cid"), struct(
+          (-l2sq(col("mv"), col("cv"))).as("nd"),
+          (-col("cid")).as("nid"))).as("cell"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("mv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("long")).as("sq"), count(lit(1)).as("cnt"))
+        .select(col("cell"), struct(col("pos"),
+          floor(col("sq").cast("double") / col("cnt").cast("double"))
+            .cast("double").as("c")).as("pc"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(col("pc"))),
+          p => p.getField("c")).as("cv"))
+        .select(col("cell").cast("int").as("cid"), col("cv"))
+    val seeds = e
+      .filter(col("vec_id") % stride === 0 &&
+        expr(s"vec_id div $stride") < KmeansK)
+      .select(expr(s"CAST(vec_id div $stride AS INT)").as("cid"),
+        col("mv").as("cv"))
+    var cent = seeds
+    for (_ <- 1 to KmeansIters) cent = update(assign(cent)).localCheckpoint()
+    e.join(broadcast(cent))
+      .select(col("vec_id"), col("cid"), l2sq(col("mv"), col("cv")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("d")), struct(
+        (-col("d")).as("nd"), (-col("cid")).as("nid"))).as("w"))
+      .select(col("vec_id"), col("w.cid").as("cluster"),
+        col("w.d").cast("long").as("d_micro2"))
+  }
 
   /** PQ code assignment + reconstruction: every vector's 8 subvectors are
     * assigned to their nearest (squared-L2, tie → lowest cent_id) refined
@@ -763,6 +819,51 @@ object PipelineQueries {
         .filter(dot(col("a.v"), col("b.v")) /
           (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v")))) >= 0.40)
         .select(col("va"), col("vb"))
+    }),
+
+    // Lloyd's k-means over the embedding corpus — the semantic-clustering
+    // curation primitive (cluster-then-sample / cluster-balanced training
+    // mixes; SemDeDup-style semantic dedup picks per-cluster
+    // representatives from exactly this output). Runs ENTIRELY on the
+    // integer micro-unit grid for cross-engine hash parity: vectors are
+    // quantized once (⌊x·10⁶+0.5⌋), distances are squared-L2 between
+    // integer-valued doubles (every product < 2⁵³ → every IEEE op exact,
+    // any summation order yields the same integer), and the Lloyd update
+    // keeps centroids ON the grid (⌊Σx/n⌋ — exact long sums, one
+    // correctly-rounded division, floor), so iteration t+1's distances
+    // are again exact integers. K=8 stratified seeds (the IVF recipe),
+    // 3 fixed iterations (deterministic — no convergence test to diverge
+    // on), tie → lowest cluster id. 100-TB shape: assignment is a
+    // broadcast of K centroid rows against a linear scan (zero shuffle),
+    // the update is ONE map-combinable groupBy(cell, pos) whose state is
+    // K·dim counters per task; per-iteration lineage truncated via the
+    // K-row centroid localCheckpoint. The oracle replays all 3 unrolled
+    // iterations in DuckDB over the identical integer arithmetic.
+    "dd_kmeans_cluster" -> ((s, dir) => kmeansAssign(s, dir)),
+
+    // SemDeDup (Abbas et al. 2023) — semantic dedup AS the k-means
+    // composition it actually is: cluster the corpus (the integer-grid
+    // Lloyd assignment above), then look for near-duplicates ONLY within
+    // each cluster — pairwise cosine over cluster-sized groups instead of
+    // the corpus-sized all-pairs join, which is the entire reason the
+    // technique scales (cluster count grows with N, cluster SIZE is the
+    // bounded work unit). Keep-first semantics like dd_para_dedup: a
+    // vector is dropped iff some LOWER-id vector in its cluster has
+    // cosine ≥ τ. Cosine runs on the RAW double embeddings with the
+    // proven parity recipe (dotC left fold = DuckDB's list_dot_product,
+    // identical IEEE expression tree — same trick as dd_embed_cosine and
+    // every ANN tier).
+    "dd_semdedup" -> ((s, dir) => {
+      val asg = kmeansAssign(s, dir).select(col("vec_id"), col("cluster"))
+      val av = asg.join(embed(s, dir), Seq("vec_id"))
+      val dups = av.as("a").join(av.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(cosC(col("a.v"), col("b.v")) >= SemDedupTau)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      asg.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("dup"), lit(false)).as("is_dup"))
     }),
 
     // ---- similarity search ---------------------------------------------
@@ -1776,8 +1877,67 @@ object PipelineQueries {
       .stripMargin
   }
 
+  /** dd_kmeans_cluster oracle: the SAME [[KmeansIters]] Lloyd iterations
+    * unrolled as chained CTEs over the identical integer micro-unit grid
+    * — assignment = lowest-(distance, cid) via ROW_NUMBER, update =
+    * ⌊Σx/n⌋ per (cell, pos). [[l2Sql]] over integer-valued double lists
+    * is exact (every product < 2⁵³), so every iteration reproduces
+    * bit-for-bit. */
+  private def kmeansCtes: String = {
+    val iters = (1 to KmeansIters).map { t =>
+      s"""a$t AS (SELECT vec_id, mv, cell FROM (
+         |    SELECT e.vec_id, e.mv, c.cid AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${l2Sql("e.mv", "c.cv")} ASC, c.cid ASC) AS r
+         |    FROM e JOIN c${t - 1} c ON TRUE) WHERE r = 1),
+         |c$t AS (SELECT cell AS cid,
+         |    list(FLOOR(CAST(sq AS DOUBLE) / cnt) ORDER BY pos) AS cv FROM (
+         |    SELECT cell, gs.i AS pos,
+         |      SUM(CAST(mv[gs.i] AS BIGINT)) AS sq, COUNT(*) AS cnt
+         |    FROM a$t, UNNEST(generate_series(1, len(mv))) AS gs(i)
+         |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)) AS mv
+       |  FROM embeddings),
+       |p AS (SELECT GREATEST(1, COUNT(*) // $KmeansK) AS stride FROM e),
+       |c0 AS (SELECT CAST(FLOOR(e.vec_id / p.stride) AS INT) AS cid, e.mv AS cv
+       |  FROM e, p WHERE e.vec_id % p.stride = 0
+       |    AND FLOOR(e.vec_id / p.stride) < $KmeansK),
+       |$iters,
+       |asg AS (SELECT vec_id, cell AS cluster,
+       |  CAST(${l2Sql("mv", "cv")} AS BIGINT) AS d_micro2 FROM (
+       |  SELECT e.vec_id, e.mv AS mv, c.cid AS cell, c.cv AS cv,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${l2Sql("e.mv", "c.cv")} ASC, c.cid ASC) AS r
+       |  FROM e JOIN c$KmeansIters c ON TRUE)
+       |WHERE r = 1)""".stripMargin
+  }
+
+  private def kmeansOracleSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cluster, d_micro2 FROM asg""".stripMargin
+
+  /** dd_semdedup oracle: the full k-means chain, then intra-cluster
+    * keep-first cosine dedup over the RAW double vectors (same parity
+    * recipe as the ANN oracles). */
+  private def semdedupOracleSql: String =
+    s"""WITH $kmeansCtes,
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dups AS (SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN ev va ON va.vec_id = a.vec_id
+       |  JOIN ev vb ON vb.vec_id = b.vec_id
+       |  WHERE ${cosSql("va.v", "vb.v")} >= $SemDedupTau)
+       |SELECT g.vec_id, g.cluster, d.vec_id IS NOT NULL AS is_dup
+       |FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "wg_pagerank" -> pagerankSql,
+    "dd_kmeans_cluster" -> kmeansOracleSql,
+    "dd_semdedup" -> semdedupOracleSql,
     "dd_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,

@@ -315,6 +315,45 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
   }
 
+  test("q26_gap_islands: both windows and the groupBy share one user_id exchange") {
+    val plan = planString(SparkEntry.queries("q26_gap_islands")(spark, sf))
+    val n = shuffleCount(plan)
+    assert(n == 1,
+      s"sessionizer must reuse the window's user_id partitioning, found $n:\n$plan")
+  }
+
+  test("q27_range_self_join: bucketed equi-join — sort-merge on (user, bucket), never a nested loop") {
+    val plan = planString(SparkEntry.queries("q27_range_self_join")(spark, sf))
+    assert(plan.contains("SortMergeJoin"),
+      s"interval join lost its equi-join shape (merge hint ignored?):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a per-user nested loop:\n$plan")
+  }
+
+  test("dd_kmeans_cluster: K centroid rows broadcast to a linear scan — no shuffle join") {
+    val plan = planString(SparkEntry.queries("dd_kmeans_cluster")(spark, sf))
+    // the K-row centroid relation joins as a broadcast nested loop (no
+    // key — every vector scores every centroid); anything shuffling the
+    // corpus to the centroids would be the wrong plan at any scale
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids are not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"kmeans shuffles the corpus to a K-row relation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+  }
+
+  test("dd_semdedup: pair generation is an equi-join on cluster — never corpus all-pairs") {
+    val plan = planString(SparkEntry.queries("dd_semdedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"semdedup degenerated to corpus all-pairs:\n$plan")
+    // the only nested-loop join allowed is the K-row centroid broadcast
+    // inside the kmeans assignment; the pair join itself must key on
+    // cluster (hash or sort-merge — both carry the equi key)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no keyed pair join found:\n$plan")
+  }
+
   test("AsofJoin plans zero joins and one key shuffle (union + window, no pair blow-up)") {
     import spark.implicits._
     val right = (0 until 100).map(i => (s"k${i % 7}", i.toLong, i.toLong, s"v$i"))

@@ -490,6 +490,126 @@ class QueriesSpec extends SparkTestBase {
       "no hot key at this SF — the broadcast path under test is empty")
   }
 
+  test("spot: q26_gap_islands matches a serial fold; island ids dense per user") {
+    val out = SparkEntry.queries("q26_gap_islands")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_id",
+        "unix_micros(cast(ts as timestamp)) as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      var island = 0L
+      var prev = Long.MinValue
+      val tagged = sorted.map { r =>
+        if (prev == Long.MinValue || r._3 - prev > 86400000000L) island += 1
+        prev = r._3
+        (island, r._3)
+      }
+      tagged.groupBy(_._1).map { case (i, xs) =>
+        (u, i, xs.map(_._2).min, xs.map(_._2).max, xs.length.toLong)
+      }
+    }.toSet
+    assert(out == expected, "islands diverge from the serial gap fold")
+    // multi-event islands exist at this SF — the lag path is exercised
+    assert(out.exists(_._5 > 1), "no multi-event island at this SF")
+  }
+
+  test("spot: q27_range_self_join matches the serial pair count (bucketing invisible)") {
+    val out = SparkEntry.queries("q27_range_self_join")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "user_id",
+        "unix_micros(cast(ts as timestamp)) as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._2)
+    val expected = ev.flatMap { a =>
+      val n = byUser(a._2)
+        .count(b => b._3 > a._3 && b._3 <= a._3 + 3600000000L)
+      if (n > 0) Some(a._1 -> n.toLong) else None
+    }.toMap
+    assert(out == expected, "follower counts diverge from the serial scan")
+    // cross-bucket pairs exist at this SF (anchor and follower in
+    // different H-epochs) — the bk+1 probe leg is exercised
+    val us = ev.map(r => r._1 -> r._3).toMap
+    val crossBucket = ev.exists { a =>
+      byUser(a._2).exists(b => b._3 > a._3 && b._3 <= a._3 + 3600000000L &&
+        b._3 / 3600000000L != a._3 / 3600000000L)
+    }
+    assert(crossBucket, "no cross-bucket pair at this SF — probe leg untested")
+    assert(us.size == ev.length)
+  }
+
+  test("spot: dd_kmeans_cluster matches a serial Lloyd mirror bit-for-bit") {
+    val out = SparkEntry.queries("dd_kmeans_cluster")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> floor(cast(x as double) * 1000000.0 + 0.5)) as mv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val k = graft.queries.PipelineQueries.KmeansK
+    val iters = graft.queries.PipelineQueries.KmeansIters
+    val stride = math.max(1L, vecs.size.toLong / k)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var cents: Map[Int, Array[Long]] = vecs.collect {
+      case (id, v) if id % stride == 0 && id / stride < k =>
+        (id / stride).toInt -> v
+    }
+    def assign(): Map[Long, (Long, Int)] = vecs.map { case (id, v) =>
+      id -> cents.toSeq.map { case (c, cv) => (d2(v, cv), c) }.min
+    }
+    for (_ <- 1 to iters) {
+      val a = assign()
+      cents = a.toSeq.groupBy(_._2._2).map { case (c, xs) =>
+        val members = xs.map(x => vecs(x._1))
+        c -> Array.tabulate(members.head.length)(i =>
+          Math.floorDiv(members.map(_(i)).sum, members.size.toLong))
+      }
+    }
+    val expected = assign().map { case (id, (d, c)) => id -> ((c, d)) }
+    assert(out == expected, "cluster assignment diverges from the serial mirror")
+    // every vector assigned exactly once, all K clusters non-empty here
+    assert(out.keySet == vecs.keySet)
+    assert(out.values.map(_._1).toSet.size == k, s"fewer than $k clusters used")
+  }
+
+  test("spot: dd_semdedup = keep-first cosine dedup within dd_kmeans_cluster's clusters") {
+    val q = SparkEntry.queries
+    val asg = q("dd_kmeans_cluster")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = q("dd_semdedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.map(r => r._1 -> r._2).toMap == asg,
+      "semdedup clusters diverge from the kmeans query")
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val byCluster = asg.toSeq.groupBy(_._2)
+    val expected = asg.map { case (id, c) =>
+      id -> byCluster(c).exists { case (a, _) =>
+        a < id && cos(vecs(a), vecs(id)) >=
+          graft.queries.PipelineQueries.SemDedupTau
+      }
+    }
+    assert(out.map(r => r._1 -> r._3).toMap == expected,
+      "is_dup diverges from the serial keep-first cosine fold")
+    // both branches live at this SF (τ sits inside the neighbor band)
+    assert(out.count(_._3) > 0, "no duplicate flagged — τ too high here")
+    assert(out.count(!_._3) > 0, "everything flagged — τ too low here")
+  }
+
   test("spot: ta_corpus_filter agrees with its sub-pipelines doc-by-doc") {
     val q = SparkEntry.queries
     val statuses = q("ta_corpus_filter")(spark, sf).collect()
