@@ -243,6 +243,123 @@ object MediaPipeline {
     s.read.parquet(out.toString)
   }
 
+  // ---- video frame sampling (y4m-style fixed-frame container) ---------
+
+  final case class VideoRecord(doc_id: Long, media: Array[Byte])
+
+  final case class SampledFrame(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      frame_idx: Int,
+      byte_sum: Long)
+
+  /** Frame-walk a YUV4MPEG2 (y4m) stream — the uncompressed video
+    * container whose fixed frame size makes sampling pure offset
+    * arithmetic (the property a 100-TB frame-sampling pass relies on:
+    * seek, don't decode). Header `YUV4MPEG2 W<w> H<h> ...\n` is parsed
+    * from the bytes (not trusted from the synthesizer), each frame is a
+    * `FRAME\n` marker + w·h·3/2 bytes of 4:2:0 planar data, and every
+    * [[FrameSampleStep]]-th frame is emitted with its unsigned-byte sum
+    * (the cheapest content digest both engines reproduce exactly).
+    * Marker bytes are VERIFIED per frame — a malformed stream yields no
+    * further frames rather than garbage offsets. */
+  object VideoCodec {
+    val FrameSampleStep = 2
+    private val Marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+    def sample(r: VideoRecord): Seq[SampledFrame] = {
+      val bs = r.media
+      val nl = bs.indexOf('\n'.toByte)
+      if (nl < 0) return Seq.empty
+      val header = new String(bs, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+      val toks = header.split(" ")
+      if (toks.isEmpty || toks(0) != "YUV4MPEG2") return Seq.empty
+      val w = toks.collectFirst { case t if t.startsWith("W") => t.drop(1).toInt }
+      val h = toks.collectFirst { case t if t.startsWith("H") => t.drop(1).toInt }
+      (w, h) match {
+        case (Some(w0), Some(h0)) if w0 > 0 && h0 > 0 =>
+          val fs = w0 * h0 * 3 / 2
+          val stride = Marker.length + fs
+          val frames = Iterator.from(0)
+            .map(f => (f, nl + 1 + f * stride))
+            .takeWhile { case (_, o) =>
+              o + stride <= bs.length &&
+                Marker.indices.forall(i => bs(o + i) == Marker(i))
+            }
+            .map(_._1).toVector
+          val nf = frames.length
+          frames.filter(_ % FrameSampleStep == 0).map { f =>
+            val base = nl + 1 + f * stride + Marker.length
+            var sum = 0L
+            var j = 0
+            while (j < fs) { sum += (bs(base + j) & 0xff); j += 1 }
+            SampledFrame(r.doc_id, w0, h0, nf, f, sum)
+          }
+        case _ => Seq.empty
+      }
+    }
+
+    /** Synthesizer: a tiny VALID y4m stream; frame bytes are a pure
+      * function of (doc_id, frame, offset) so the DuckDB oracle can
+      * verify the sampled sums byte-for-byte from the parquet blob. */
+    def y4m(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val header = s"YUV4MPEG2 W$w H$h F25:1\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val fs = w * h * 3 / 2
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(header)
+      (0 until nFrames).foreach { f =>
+        out.write(Marker)
+        (0 until fs).foreach(j =>
+          out.write((Math.floorMod(id * 31L + f * 7L + j, 256L)).toInt))
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Deterministic video fixture: one small y4m stream per document
+    * (dims/frame-count are arithmetic functions of doc_id). Separate
+    * parquet + marker from the image/audio fixture so the two evolve
+    * independently. */
+  def videoTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = Paths.get(MediaRoot)
+    val out = root.resolve("video.parquet")
+    val marker = root.resolve("_graft_video_spec")
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val sig = s"$dir|${docs.count()}|video-v1"
+    val current = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == sig
+    if (!current) {
+      Files.createDirectories(root)
+      docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 4 + 2 * Math.floorMod(id, 4L).toInt
+          val h = 4 + 2 * Math.floorMod(id * 3L, 4L).toInt
+          val nf = 1 + Math.floorMod(id, 7L).toInt
+          VideoRecord(id, VideoCodec.y4m(id, w, h, nf))
+        }.toDF()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out.toString)
+      Files.write(marker, sig.getBytes("UTF-8"))
+    }
+    s.read.parquet(out.toString)
+  }
+
+  /** Batched per-partition frame sampling over the binary column — same
+    * vectorized batch shape as [[extractFeatures]]. */
+  def sampleVideoFrames(s: SparkSession, video: DataFrame): DataFrame = {
+    import s.implicits._
+    video.as[VideoRecord]
+      .mapPartitions { it =>
+        it.grouped(MediaCodec.BatchSize)
+          .flatMap(batch => batch.flatMap(VideoCodec.sample))
+      }
+      .toDF()
+  }
+
   /** Batched per-partition feature extraction over the binary column. */
   def extractFeatures(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._

@@ -877,6 +877,27 @@ object PipelineQueries {
           cosC(col("qv"), col("v")).as("cos")))
     }),
 
+    // FILTERED vector search — top-k under a metadata predicate (here:
+    // same label as the query), the shape every production vector store
+    // grew in the RAG era (FAISS IDSelector, label-partitioned HNSW).
+    // The predicate becomes the JOIN KEY: candidates hash-match on label
+    // BEFORE any distance work, so the scan is the filtered stratum
+    // (~1/|labels| of the corpus), not a post-filtered full ranking —
+    // at 100 TB the index is label-partitioned and the equi key is the
+    // partition-pruning handle. Exact within the stratum (the honest
+    // baseline the filtered-IVF tiers would be measured against).
+    "ann_filtered_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"))
+      top5(broadcast(q).join(e,
+          col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosC(col("qv"), col("v")).as("cos")))
+    }),
+
     // Random-hyperplane sign-LSH, 2 tables × 8 bits, Hamming-1 multi-probe
     // — the cheap SKETCH tier (~7% of the data scanned, constant probe
     // cost, no index build). See the hash-family scaladoc above for why
@@ -2088,6 +2109,20 @@ object PipelineQueries {
         |    list_dot_product(q.v, e.v) /
         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
         |  FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "ann_filtered_topk" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, e.v) /
+        |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        |  FROM e q JOIN e ON q.label = e.label AND e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
         |SELECT query_id, neighbor_id, rank FROM (
         |  SELECT query_id, neighbor_id,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank

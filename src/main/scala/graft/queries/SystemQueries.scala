@@ -665,6 +665,14 @@ object SystemQueries {
           col("sample_rate"), col("channels"))
     }),
 
+    // multimodal: video frame sampling over a y4m fixed-frame container —
+    // header parsed from bytes, FRAME markers verified, every 2nd frame
+    // emitted with its unsigned-byte sum; oracle re-walks the same blob
+    // in DuckDB hex arithmetic (header scan for the newline byte, chr()
+    // reassembly, marker check, per-frame offset sums)
+    "mm_frame_sample" -> ((s, dir) =>
+      MediaPipeline.sampleVideoFrames(s, MediaPipeline.videoTable(s, dir))),
+
     // CDC engine end-to-end: hash-checked vs DuckDB's LWW fold of the truth
     // stream (in-JVM serial-oracle gate additionally in IngestSpec)
     "cdc_replay_state" -> ((s, dir) => cdcReplay(s, dir)),
@@ -1058,6 +1066,47 @@ object SystemQueries {
         |FROM events p JOIN events c ON c.user_id = p.user_id
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts""".stripMargin,
+
+    // y4m frame sampling re-walked byte-for-byte in SQL: newline scan at
+    // byte-pair alignment finds the header, chr() reassembles it for the
+    // W/H regex, every frame's FRAME\n marker is VERIFIED as hex
+    // '4652414D450A' (an unverifiable frame yields no row — divergence
+    // shows as a hash mismatch, not silence), and the sampled frames'
+    // unsigned-byte sums are summed pair-by-pair from the hex image.
+    // Fixed-bound generate_series + j < bound filters (DuckDB disallows
+    // correlated table-function parameters); caps 63/255 dominate the
+    // fixture's nf ≤ 7 and frame size ≤ 150.
+    "mm_frame_sample" ->
+      s"""WITH v AS (SELECT doc_id, hex(media) AS h,
+         |    CAST(octet_length(media) AS BIGINT) AS n
+         |  FROM read_parquet('${MediaPipeline.MediaRoot}/video.parquet/*.parquet')),
+         |hl AS (SELECT doc_id, h, n,
+         |    (SELECT MIN(j) FROM generate_series(0, 63) AS g(j)
+         |     WHERE substr(h, 2*j + 1, 2) = '0A') AS nl
+         |  FROM v),
+         |hdr AS (SELECT doc_id, h, n, nl,
+         |    (SELECT string_agg(chr(CAST('0x' || substr(h, 2*j + 1, 2) AS INT)), ''
+         |                       ORDER BY j)
+         |     FROM generate_series(0, 63) AS g(j) WHERE j < nl) AS header
+         |  FROM hl WHERE nl IS NOT NULL),
+         |dims AS (SELECT doc_id, h, n, nl,
+         |    CAST(regexp_extract(header, 'YUV4MPEG2 W(\\d+) H(\\d+)', 1) AS INT) AS width,
+         |    CAST(regexp_extract(header, 'YUV4MPEG2 W(\\d+) H(\\d+)', 2) AS INT) AS height
+         |  FROM hdr WHERE header LIKE 'YUV4MPEG2 %'),
+         |geo AS (SELECT doc_id, h, nl, width, height,
+         |    width * height * 3 // 2 AS fs,
+         |    6 + width * height * 3 // 2 AS stride,
+         |    CAST((n - nl - 1) // (6 + width * height * 3 // 2) AS INT) AS nf
+         |  FROM dims WHERE width > 0 AND height > 0),
+         |frames AS (SELECT doc_id, h, width, height, nf, fs,
+         |    g.f AS frame_idx, nl + 1 + g.f * stride + 6 AS base
+         |  FROM geo JOIN generate_series(0, 63) AS g(f) ON g.f < nf
+         |  WHERE substr(h, 2*(nl + 1 + g.f * stride) + 1, 12) = '4652414D450A')
+         |SELECT doc_id, width, height, nf AS n_frames,
+         |  CAST(frame_idx AS INT) AS frame_idx,
+         |  CAST((SELECT SUM(CAST('0x' || substr(h, 2*(base + j) + 1, 2) AS INT))
+         |        FROM generate_series(0, 255) AS g(j) WHERE j < fs) AS BIGINT) AS byte_sum
+         |FROM frames WHERE frame_idx % 2 = 0""".stripMargin,
 
     // the oracle re-parses the fixture's BINARY payloads independently:
     // magic sniff, PNG IHDR BE32 dims, GIF LSD LE16 dims, WAV fmt/data

@@ -218,6 +218,17 @@ class PlanSpec extends SparkTestBase {
       s"IVF probe join is not broadcast:\n$plan")
   }
 
+  test("ann_filtered_topk: the metadata predicate is the join KEY, probes broadcast") {
+    val plan = planString(SparkEntry.queries("ann_filtered_topk")(spark, sf))
+    // label equi-match must reach the join as a key (hash-matched before
+    // any distance work), not a post-join filter over an all-pairs product
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered search lost its label-keyed broadcast join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"filtered search degenerated to scan-then-filter over all pairs:\n$plan")
+  }
+
   test("q21_rollup: grouping sets expand into ONE partial-aggregated pass") {
     val plan = planString(SparkEntry.queries("q21_rollup")(spark, sf))
     assert(plan.contains("Expand"), s"no grouping-set Expand in:\n$plan")

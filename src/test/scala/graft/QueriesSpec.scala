@@ -610,6 +610,54 @@ class QueriesSpec extends SparkTestBase {
     assert(out.count(!_._3) > 0, "everything flagged — τ too low here")
   }
 
+  test("spot: ann_filtered_topk stays inside the query's label stratum and the filter bites") {
+    val q = SparkEntry.queries
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = q("ann_filtered_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    rows.foreach { case (qid, nid, _) =>
+      assert(labels(nid) == labels(qid),
+        s"neighbor $nid label ${labels(nid)} != query $qid label ${labels(qid)}")
+    }
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length),
+        s"ranks not dense for query $qid")
+    }
+    // the predicate actually changes the answer vs the unfiltered baseline
+    val brute = q("ann_brute_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!rows.map(r => (r._1, r._2)).toSet.subsetOf(brute),
+      "filtered top-5 equals unfiltered everywhere — the filter never bit")
+  }
+
+  test("spot: mm_frame_sample matches the generator arithmetic frame-for-frame") {
+    import graft.multimodal.MediaPipeline.VideoCodec
+    val rows = SparkEntry.queries("mm_frame_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5))).toSet
+    val docIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    // independent path: the synthesizer's arithmetic, never the bytes —
+    // the byte-walking parse chain must land exactly back on it
+    val expected = docIds.flatMap { id =>
+      val w = 4 + 2 * Math.floorMod(id, 4L).toInt
+      val h = 4 + 2 * Math.floorMod(id * 3L, 4L).toInt
+      val nf = 1 + Math.floorMod(id, 7L).toInt
+      val fs = w * h * 3 / 2
+      (0 until nf).filter(_ % VideoCodec.FrameSampleStep == 0).map { f =>
+        val sum = (0 until fs).map(j =>
+          Math.floorMod(id * 31L + f * 7L + j, 256L)).sum
+        (id, w, h, nf, f, sum)
+      }
+    }.toSet
+    assert(rows == expected, "sampled frames diverge from generator arithmetic")
+    // multi-frame videos exist, so sampling skips frames somewhere
+    assert(rows.exists(_._5 == 2),
+      "no frame beyond index 0 sampled — the stride walk is untested")
+  }
+
   test("spot: ta_corpus_filter agrees with its sub-pipelines doc-by-doc") {
     val q = SparkEntry.queries
     val statuses = q("ta_corpus_filter")(spark, sf).collect()
