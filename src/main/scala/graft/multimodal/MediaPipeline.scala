@@ -276,10 +276,16 @@ object MediaPipeline {
       val header = new String(bs, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
       val toks = header.split(" ")
       if (toks.isEmpty || toks(0) != "YUV4MPEG2") return Seq.empty
-      val w = toks.collectFirst { case t if t.startsWith("W") => t.drop(1).toInt }
-      val h = toks.collectFirst { case t if t.startsWith("H") => t.drop(1).toInt }
+      val w = toks.collectFirst { case t if t.startsWith("W") => t.drop(1) }
+        .flatMap(_.toIntOption)
+      val h = toks.collectFirst { case t if t.startsWith("H") => t.drop(1) }
+        .flatMap(_.toIntOption)
       (w, h) match {
-        case (Some(w0), Some(h0)) if w0 > 0 && h0 > 0 =>
+        // upper bound keeps fs/stride inside Int (and any negative or
+        // absurd header dimension yields Seq.empty, per the contract
+        // above — toIntOption already absorbed non-numeric tokens)
+        case (Some(w0), Some(h0)) if w0 > 0 && h0 > 0 &&
+            w0.toLong * h0 * 3 / 2 + Marker.length <= bs.length =>
           val fs = w0 * h0 * 3 / 2
           val stride = Marker.length + fs
           val frames = Iterator.from(0)

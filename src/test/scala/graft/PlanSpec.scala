@@ -358,11 +358,20 @@ class PlanSpec extends SparkTestBase {
     val plan = planString(SparkEntry.queries("dd_semdedup")(spark, sf))
     assert(!plan.contains("CartesianProduct"),
       s"semdedup degenerated to corpus all-pairs:\n$plan")
-    // the only nested-loop join allowed is the K-row centroid broadcast
-    // inside the kmeans assignment; the pair join itself must key on
-    // cluster (hash or sort-merge — both carry the equi key)
-    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
-      s"no keyed pair join found:\n$plan")
+    // the ONLY nested-loop join allowed is the K-row centroid broadcast
+    // inside the kmeans assignment, which appears twice in the final plan
+    // because the assignment subtree is referenced by both sides of the
+    // dup left-join (no caching — recomputing a K-row broadcast is
+    // cheaper than persisting the corpus). A THIRD nested loop would mean
+    // the pair join lost its cluster equi key and degenerated to an
+    // all-pairs product under the cosine residual.
+    val finalOnly = plan.split(raw"\+- == Initial Plan ==").head
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalOnly).length
+    assert(bnlj == 2,
+      s"expected exactly the twice-referenced centroid broadcast, found $bnlj:\n$plan")
+    // and the pair/join-back joins do carry keys
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(finalOnly).nonEmpty, s"no keyed join found:\n$plan")
   }
 
   test("AsofJoin plans zero joins and one key shuffle (union + window, no pair blow-up)") {

@@ -658,6 +658,27 @@ class QueriesSpec extends SparkTestBase {
       "no frame beyond index 0 sampled — the stride walk is untested")
   }
 
+  test("spot: VideoCodec.sample is total on malformed payloads — empty, never a crash") {
+    import graft.multimodal.MediaPipeline.{VideoCodec, VideoRecord}
+    def bytes(s: String) = s.getBytes("US-ASCII")
+    // dims whose product overflows Int (w*h*3 = 3e9) must not produce
+    // negative strides / garbage offsets
+    assert(VideoCodec.sample(VideoRecord(1,
+      bytes("YUV4MPEG2 W50000 H20000 F25:1\nFRAME\n1234"))).isEmpty)
+    // W token that does not fit an Int must not throw
+    assert(VideoCodec.sample(VideoRecord(2,
+      bytes("YUV4MPEG2 W99999999999 H2 F25:1\nFRAME\n"))).isEmpty)
+    assert(VideoCodec.sample(VideoRecord(3, bytes("not a video at all"))).isEmpty)
+    assert(VideoCodec.sample(VideoRecord(4, Array.emptyByteArray)).isEmpty)
+    assert(VideoCodec.sample(VideoRecord(5,
+      bytes("YUV4MPEG2 W4 H4 F25:1\nJUNK!!"))).isEmpty)
+    // torn tail: frames before the tear still emit, nothing after
+    val ok = VideoCodec.y4m(6, 4, 4, 3)
+    val sampled = VideoCodec.sample(VideoRecord(6, ok.take(ok.length - 5)))
+    assert(sampled.map(_.frame_idx) == Seq(0) && sampled.head.n_frames == 2,
+      s"torn stream mis-walked: $sampled")
+  }
+
   test("spot: ta_corpus_filter agrees with its sub-pipelines doc-by-doc") {
     val q = SparkEntry.queries
     val statuses = q("ta_corpus_filter")(spark, sf).collect()
