@@ -405,13 +405,27 @@ object MainIngest {
     case "gc" :: tableDir :: rest if rest.forall(_ == "--delete") =>
       val table = LakeTable.load(tableDir)
       val orphans = table.orphanFiles() ++ table.orphanManifests()
-      if (orphans.isEmpty) println("no orphan files")
+      // abandoned .tmp-* spill dirs (age-guarded: a live ingest's tmp dir
+      // is minutes old — see LakeTable.staleTmpDirs)
+      val tmpDirs = table.staleTmpDirs()
+      if (orphans.isEmpty && tmpDirs.isEmpty) println("no orphan files")
       else if (rest.contains("--delete")) {
         orphans.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        println(s"deleted ${orphans.size} orphan files")
+        tmpDirs.foreach { d =>
+          val st = java.nio.file.Files.walk(d)
+          val all = try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.toVector
+          } finally st.close()
+          all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        println(s"deleted ${orphans.size} orphan files, " +
+          s"${tmpDirs.size} stale tmp dirs")
       } else {
         orphans.foreach(p => println(s"orphan: $p"))
-        println(s"${orphans.size} orphan files (re-run with --delete to remove)")
+        tmpDirs.foreach(p => println(s"stale tmp dir: $p"))
+        println(s"${orphans.size} orphan files + ${tmpDirs.size} stale tmp " +
+          "dirs (re-run with --delete to remove)")
       }
 
     // incremental changelog: I/U/D diff between two committed versions,

@@ -58,9 +58,16 @@ object RecordCodec {
     writeLenPrefixed(out, if (e.text == null) null else e.text.getBytes("UTF-8"))
     writeLenPrefixed(out, e.html)
     if (e.schemaVersion >= SchemaV2) {
-      val fs = e.fetch_status.getOrElse(0).toLong
+      // the fixed-width zoned/packed fields carry no null indicator, so a
+      // v2 record CANNOT represent a missing value — reject it here
+      // rather than silently persisting 0 (an impossible HTTP status /
+      // a fake length) that decode would then resurrect as Some(0)
+      require(e.fetch_status.isDefined && e.content_len.isDefined,
+        s"v2 record for ${e.url} lacks fetch_status/content_len — " +
+          "the wire format cannot encode null v2 fields")
+      val fs = e.fetch_status.get.toLong
       out.write(MainframeNum.encodeZoned(java.math.BigDecimal.valueOf(fs), 3))
-      val cl = e.content_len.getOrElse(0L)
+      val cl = e.content_len.get
       out.write(MainframeNum.encodePacked(java.math.BigDecimal.valueOf(cl), 11))
     }
     out.flush()
@@ -119,6 +126,13 @@ object RecordCodec {
       def next(): (Int, Int) = {
         val len = buf.getInt()
         val off = buf.position()
+        // fail fast on a corrupt length prefix: a non-positive or
+        // past-the-end length would otherwise reposition the buffer
+        // backwards (or not at all) and spin this iterator forever —
+        // the CRC-skipping key pass has no other guard
+        if (len <= 0 || off + len + crcLen > segment.length)
+          throw new CorruptRecordException(
+            s"corrupt frame length $len at offset ${off - 4}")
         buf.position(off + len + crcLen)
         (off, len)
       }

@@ -111,19 +111,7 @@ object CdcIngest {
         spark.sessionState.newHadoopConf()))
     spark.createDataset(segmentPaths)
       .repartition(math.max(parallelism, 1))
-      .flatMap { p =>
-        val path = new org.apache.hadoop.fs.Path(p)
-        val fs = path.getFileSystem(confBc.value.value)
-        val in = fs.open(path)
-        val bytes =
-          try {
-            val len = fs.getFileStatus(path).getLen.toInt
-            val buf = new Array[Byte](len)
-            in.readFully(0, buf)
-            buf
-          } finally in.close()
-        RecordCodec.decodeSegment(bytes)
-      }
+      .flatMap(p => RecordCodec.decodeSegment(readFile(p, confBc.value.value)))
   }
 
   /** Decoded events as a DataFrame with lake column names — decodes via the
@@ -425,7 +413,6 @@ object CdcIngest {
   def dedupViaKeyBroadcast(
       spark: SparkSession,
       segmentPaths: Seq[String],
-      salt: Int,
       urlPartitions: Int,
       maxCollectedKeys: Int = 4000000,
       segmentsPerKeyTask: Int = 25): (DataFrame, Option[(Long, Long, Long)]) = {
@@ -764,8 +751,6 @@ object CdcIngest {
     val bulk = !mor && hintSv.nonEmpty &&
       (snap.files.isEmpty || tableBytes == 0L || batchBytes * 4L >= tableBytes)
 
-    val raw = decodeRaw(spark, segments.map(_._2))
-
     def evolvedSchema(maxSv: Int): StructType =
       if (maxSv >= RecordCodec.SchemaV2) {
         // a v2 column that was RENAMED is already present under its current
@@ -781,9 +766,6 @@ object CdcIngest {
         })
       } else snap.schema
 
-    def physicalOf(schema: StructType): StructType =
-      StructType(schema.fields ++ Array(
-        StructField(LakeTable.SeqCol, LongType), StructField(LakeTable.DeletedCol, BooleanType)))
 
     def readTarget(files: Seq[DataFileEntry], dels: Seq[graft.lake.DeleteFileEntry],
         physical: StructType): DataFrame =
@@ -831,8 +813,11 @@ object CdcIngest {
         val schema = evolvedSchema(hintSv.get)
         val dataCols = schema.fieldNames.toSeq
         val obs = org.apache.spark.sql.Observation(s"ingest-$batchId")
+        // no salt here: keyStats' map-side combiner absorbs hot keys
+        // before the shuffle, so the bulk key pass needs none (the salted
+        // two-phase form lives in dedupRawAndDecode for the pruned path)
         val (winnersDf, keyTotals) = dedupViaKeyBroadcast(
-          spark, segments.map(_._2), config.saltBuckets, numBuckets,
+          spark, segments.map(_._2), numBuckets,
           segmentsPerKeyTask = config.segmentsPerKeyTask)
         val src = alignToRenames(winnersDf)
           .observe(obs,
@@ -868,7 +853,8 @@ object CdcIngest {
       } else {
         // ---- pruned path: pre-pass finds touched buckets, merge reads
         // only their files; untouched buckets carry over by reference ----
-        val winners = dedupRawAndDecode(spark, raw, config.saltBuckets, numBuckets)
+        val winners = dedupRawAndDecode(spark,
+            decodeRaw(spark, segments.map(_._2)), config.saltBuckets, numBuckets)
           .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(numBuckets))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
@@ -1068,8 +1054,7 @@ object CdcIngest {
     val snap = table.currentSnapshot()
     val targetBuckets = buckets.getOrElse((0 until snap.numBuckets).toSet)
     val srcFiles = snap.files.filter(f => targetBuckets(f.bucket))
-    val physical = StructType(snap.schema.fields ++ Array(
-      StructField(LakeTable.SeqCol, LongType), StructField(LakeTable.DeletedCol, BooleanType)))
+    val physical = physicalOf(snap.schema)
     // delete-aware read: compaction FOLDS stacked merge-on-read deltas —
     // the rewritten buckets come out as pure base and their equality-delete
     // files drop out of the new snapshot below
@@ -1182,8 +1167,7 @@ object CdcIngest {
     require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
     require(newBuckets != snap.numBuckets,
       s"table already has ${snap.numBuckets} buckets")
-    val physical = StructType(snap.schema.fields ++ Array(
-      StructField(LakeTable.SeqCol, LongType), StructField(LakeTable.DeletedCol, BooleanType)))
+    val physical = physicalOf(snap.schema)
     // delete-aware read: the full rewrite folds any stacked MoR deltas, so
     // the new layout starts with pure base files and no delete files
     val all = table.readFiles(spark, physical, snap.files, snap.deleteFiles,
@@ -1354,9 +1338,8 @@ object CdcIngest {
       spark: SparkSession, table: LakeTable, tmpDir: Path, version: Long,
       nameTag: String = ""): Seq[DataFileEntry] = {
     val conf = spark.sessionState.newHadoopConf()
-    val bucketDirs = Files.list(tmpDir).iterator().asScala
+    val bucketDirs = listDirClosed(tmpDir)
       .filter(p => p.getFileName.toString.startsWith(s"${LakeTable.BucketCol}="))
-      .toSeq
     // parallel: footer reads are ~10ms each and there can be hundreds of
     // buckets — serial moves were showing up as per-batch driver stalls
     import scala.concurrent.{Await, Future}
@@ -1364,8 +1347,8 @@ object CdcIngest {
     import scala.concurrent.ExecutionContext.Implicits.global
     val entryFutures = bucketDirs.map { bd => Future {
       val bucket = bd.getFileName.toString.stripPrefix(s"${LakeTable.BucketCol}=").toInt
-      val parts = Files.list(bd).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      val parts = listDirClosed(bd)
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
       parts.zipWithIndex.map { case (p, i) =>
         val name = f"s$version%08d$nameTag%s-b$bucket%05d-$i%03d.parquet"
         val dest = table.dataDir.resolve(name)
@@ -1525,9 +1508,30 @@ object CdcIngest {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Read-time physical schema: the logical columns plus the engine's
+    * system columns (`_seq` LWW order, `_deleted` tombstone) — ONE
+    * construction shared by applyBatch, compact, and rebucket so the
+    * physical layout cannot drift between the three writers (the write
+    * side's non-null variant lives in [[LakeTable.physicalSchema]]). */
+  private def physicalOf(schema: StructType): StructType =
+    StructType(schema.fields ++ Array(
+      StructField(LakeTable.SeqCol, LongType),
+      StructField(LakeTable.DeletedCol, BooleanType)))
+
+  /** Eager listing with the stream CLOSED — `Files.list`/`Files.walk`
+    * hold a directory fd until close(); dropping the stream leaks one
+    * per call (moveDataFiles runs per commit on a long trickle run). */
+  private def listDirClosed(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala.toVector
+    finally st.close()
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val st = Files.walk(p)
+      val all = try st.iterator().asScala.toVector finally st.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
 
   // -------------------------------------------------------------------

@@ -111,8 +111,16 @@ object StreamingIngest {
     else MaterializedView.refresh(spark, table, mvRoot)
   }
 
-  /** Apply the contiguous run of on-disk segments above the table watermark
-    * (if any) as one engine batch. Returns true if a batch was applied. */
+  /** Apply the contiguous run of on-disk segments above the table
+    * watermark (if any), chunked by `config.segmentsPerBatch` exactly like
+    * the batch front-end (`CdcIngest.run` groups the same way) — a
+    * trigger that finds a 10k-segment backlog must NOT hand the whole
+    * backlog to applyBatch as one unbounded batch: the config's
+    * memory/shuffle bound would be silently void and the commit history
+    * (one snapshot per N segments) would diverge from the batch
+    * front-end's for the same config. Returns true if any batch was
+    * applied. Crash-safe at every chunk boundary: each applyBatch commits
+    * its own watermark, so a kill mid-backlog resumes at the next chunk. */
   private def applyContiguous(
       spark: SparkSession,
       table: LakeTable,
@@ -123,7 +131,8 @@ object StreamingIngest {
     val run = pending.zipWithIndex
       .takeWhile { case ((id, _), i) => id == watermark + 1 + i }
       .map(_._1)
-    if (run.nonEmpty) { CdcIngest.applyBatch(spark, table, run, config); true }
-    else false
+    run.grouped(math.max(1, config.segmentsPerBatch))
+      .foreach(chunk => CdcIngest.applyBatch(spark, table, chunk, config))
+    run.nonEmpty
   }
 }

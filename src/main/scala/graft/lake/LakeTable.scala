@@ -157,11 +157,21 @@ final class LakeTable(val root: Path) {
     readSnapshot(versions.max)
   }
 
+  /** Directory listing materialized eagerly with the stream CLOSED —
+    * `Files.list` holds a directory fd until close(), and this runs on
+    * every snapshot load / commit gate / metadata query, so dropping
+    * the stream (as this file once did) leaks an fd per call until the
+    * driver hits EMFILE on a long trickle-ingest run. */
+  private def listDirEntries(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala.toVector
+    finally st.close()
+  }
+
   def listVersions(): Seq[Long] =
-    Files.list(snapshotsDir).iterator().asScala
+    listDirEntries(snapshotsDir)
       .map(_.getFileName.toString)
       .collect { case SnapName(v) => v.toLong }
-      .toSeq
 
   def readSnapshot(version: Long): Snapshot =
     parseSnapshot(Files.readAllBytes(snapPath(version)))
@@ -877,8 +887,12 @@ final class LakeTable(val root: Path) {
     val sel = filesInRange(snap, loMicros, hiMicros)
     // delete keys apply per url, so every delete file of the selected
     // buckets applies even when some of its bucket's data files are pruned
+    // (bucket SET, not a per-delete-file scan of the selection — trickle
+    // tables stack hundreds of delete files against thousands of data
+    // files and the quadratic filter was pure driver planning waste)
+    val selBuckets = sel.iterator.map(_.bucket).toSet
     val raw = readFiles(spark, physicalSchema(snap), sel,
-      snap.deleteFiles.filter(d => sel.exists(_.bucket == d.bucket)), snap.renames)
+      snap.deleteFiles.filter(d => selBuckets(d.bucket)), snap.renames)
     raw.filter(!col(DeletedCol) &&
         col("warc_ts") >= lit(inst(loMicros)) && col("warc_ts") <= lit(inst(hiMicros)))
       .select(cols: _*)
@@ -920,8 +934,9 @@ final class LakeTable(val root: Path) {
     val snap = currentSnapshot()
     val cols = snap.schema.fieldNames.map(col).toSeq
     val sel = filesInColRange(snap, column, lo, hi)
+    val selBuckets = sel.iterator.map(_.bucket).toSet
     val raw = readFiles(spark, physicalSchema(snap), sel,
-      snap.deleteFiles.filter(d => sel.exists(_.bucket == d.bucket)), snap.renames)
+      snap.deleteFiles.filter(d => selBuckets(d.bucket)), snap.renames)
     val dt = snap.schema(column).dataType
     val c = col(column)
     val live = raw.filter(!col(DeletedCol))
@@ -1174,9 +1189,8 @@ final class LakeTable(val root: Path) {
     val referenced = (listVersions().map(readSnapshot) ++ stagedSnapshot())
       .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     if (!Files.isDirectory(dataDir)) Seq.empty
-    else Files.list(dataDir).iterator().asScala
+    else listDirEntries(dataDir)
       .filter(p => !referenced.contains(root.relativize(p).toString))
-      .toSeq
   }
 
   /** Manifest files not referenced by any committed or staged snapshot —
@@ -1187,10 +1201,26 @@ final class LakeTable(val root: Path) {
     val referenced = (listVersions().map(readSnapshot) ++ stagedSnapshot())
       .flatMap(_.manifests.map(_.path)).toSet
     if (!Files.isDirectory(manifestsDir)) Seq.empty
-    else Files.list(manifestsDir).iterator().asScala
+    else listDirEntries(manifestsDir)
       .filter(p => !p.getFileName.toString.startsWith("."))
       .filter(p => !referenced.contains(root.relativize(p).toString))
-      .toSeq
+  }
+
+  /** Root-level `.tmp-*` spill directories older than `olderThanMs` —
+    * crash debris from a writer killed between its Spark output and
+    * [[graft.ingest.CdcIngest]]'s move-into-place (which deletes the tmp
+    * dir on success). Invisible to every reader, but at scale a single
+    * abandoned dir is a whole batch rewrite of dead bytes, and neither
+    * [[orphanFiles]] (dataDir only) nor [[orphanManifests]] sweeps the
+    * root. The age guard keeps gc safe to run beside a LIVE ingest: an
+    * in-flight writer's tmp dir is minutes old, never hours. Swept by
+    * the gc CLI. */
+  def staleTmpDirs(olderThanMs: Long = 60L * 60 * 1000): Seq[Path] = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    listDirEntries(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(".tmp-") &&
+        Files.getLastModifiedTime(p).toMillis < cutoff)
   }
 }
 

@@ -142,6 +142,48 @@ class CodecSpec extends AnyFunSuite with PropHelpers {
     assert(back.map(_.text) == evs.map(_.text))
   }
 
+  test("segmentOffsets fails fast on a corrupt length prefix instead of spinning") {
+    val evs = (0 until 3).map { i =>
+      ChangeEvent("U", i.toLong, s"https://x.example.com/$i",
+        new Timestamp(1577836800000L + i), Array[Byte](1, 2, 3), s"t$i", "en", 1, None, None)
+    }
+    val seg = RecordCodec.frameSegment(evs.iterator.map(RecordCodec.encode))
+    // find the second frame's length-prefix offset by walking the clean
+    // segment, then corrupt it two ways
+    val offs = RecordCodec.segmentOffsets(seg).toSeq
+    val lenPos = offs(1)._1 - 4
+    def corrupt(v: Int): Array[Byte] = {
+      val c = seg.clone()
+      c(lenPos) = (v >> 24).toByte; c(lenPos + 1) = (v >> 16).toByte
+      c(lenPos + 2) = (v >> 8).toByte; c(lenPos + 3) = v.toByte
+      c
+    }
+    // negative length: the old walker repositioned BACKWARDS and spun
+    // forever; now it must throw
+    intercept[RecordCodec.CorruptRecordException] {
+      RecordCodec.segmentOffsets(corrupt(-4)).toSeq
+    }
+    // past-the-end length must throw, not read garbage offsets
+    intercept[RecordCodec.CorruptRecordException] {
+      RecordCodec.segmentOffsets(corrupt(seg.length)).toSeq
+    }
+    // and the clean walk still yields every frame
+    assert(offs.length == 3)
+  }
+
+  test("encode rejects v2 records whose null fields the wire format cannot represent") {
+    val ok = ChangeEvent("U", 1L, "https://x.example.com/1",
+      new Timestamp(1577836800000L), Array[Byte](1), "t", "en",
+      RecordCodec.SchemaV2, Some(200), Some(10L))
+    assert(RecordCodec.decode(RecordCodec.encode(ok)).fetch_status == Some(200))
+    intercept[IllegalArgumentException] {
+      RecordCodec.encode(ok.copy(fetch_status = None))
+    }
+    intercept[IllegalArgumentException] {
+      RecordCodec.encode(ok.copy(content_len = None))
+    }
+  }
+
   test("verifySegment: clean framing passes, each damage class pinpoints its offset") {
     val evs = (0 until 50).map { i =>
       ChangeEvent("U", i.toLong, s"https://x.example.com/$i",

@@ -219,9 +219,9 @@ class IngestSpec extends SparkTestBase {
     val spec = FeedSpec(seed = 71L, numEvents = 3000, numUrls = 500,
       eventsPerSegment = 600, evolveAtEvent = 1500, duplicateRatio = 0.1)
     val paths = graft.feed.FeedGen.writeSegments(spec, tmpDir("ddfb")).map(_.toString)
-    val (a, at) = CdcIngest.dedupViaKeyBroadcast(spark, paths, 16, 8)
+    val (a, at) = CdcIngest.dedupViaKeyBroadcast(spark, paths, 8)
     // cap of 1 forces the relational-join fallback; results must be equal
-    val (b, bt) = CdcIngest.dedupViaKeyBroadcast(spark, paths, 16, 8,
+    val (b, bt) = CdcIngest.dedupViaKeyBroadcast(spark, paths, 8,
       maxCollectedKeys = 1)
     val ca = a.drop("_n"); val cb = b.drop("_n")
     assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,

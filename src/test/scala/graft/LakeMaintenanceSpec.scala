@@ -30,6 +30,30 @@ class LakeMaintenanceSpec extends SparkTestBase {
     table
   }
 
+  test("staleTmpDirs: old .tmp-* crash debris is swept, live writers' dirs are not") {
+    val table = replay()
+    // crash debris: a writer killed between Spark output and move-into-
+    // place leaves its .tmp dir behind; backdate it past the age guard
+    val dead = table.root.resolve(".tmp-dead-crash")
+    Files.createDirectories(dead.resolve(s"${LakeTable.BucketCol}=0"))
+    Files.write(dead.resolve(s"${LakeTable.BucketCol}=0").resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    Files.setLastModifiedTime(dead, old)
+    // a LIVE ingest's tmp dir is fresh — must never be listed
+    val live = table.root.resolve(".tmp-live-write")
+    Files.createDirectories(live)
+    val stale = table.staleTmpDirs()
+    assert(stale.map(_.getFileName.toString) == Seq(".tmp-dead-crash"),
+      s"expected only the backdated dir, got $stale")
+    // neither shows up in the file/manifest orphan sweeps (the gap this
+    // listing closes)
+    assert(!table.orphanFiles().exists(_.toString.contains(".tmp-")))
+    // tighter age guard picks up the fresh one too — the knob works
+    assert(table.staleTmpDirs(olderThanMs = -1L).size == 2)
+  }
+
   test("bucketOf matches bucketExpr for every key shape") {
     import spark.implicits._
     val urls = (0 until 300).map(FeedGen.urlOf(spec, _)) ++

@@ -29,6 +29,28 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(table.currentSnapshot().schema.fieldNames.contains("fetch_status"))
   }
 
+  test("a trigger facing a backlog chunks it by segmentsPerBatch like the batch front-end") {
+    val spec = FeedSpec(seed = 33L, numEvents = 2000, numUrls = 200,
+      eventsPerSegment = 200, evolveAtEvent = -1) // 10 segments, all pending
+    val feed = tmpDir("sfeed-chunk")
+    FeedGen.writeSegments(spec, feed)
+    val table = LakeTable.create(tmpDir("stbl-chunk"), CdcIngest.PagesSchemaV1, 8)
+    // one availableNow drain over the whole 10-segment backlog with
+    // segmentsPerBatch=3: the engine must commit ⌈10/3⌉ = 4 snapshots —
+    // NOT one unbounded batch — so the config's batch-size bound holds
+    // and the commit history matches CdcIngest.run's for the same config
+    StreamingIngest.run(spark, table, feed,
+      IngestConfig(numBuckets = 8, segmentsPerBatch = 3))
+    val versions = table.listVersions().sorted
+    assert(versions.size >= 5, // v0 create + 4 chunk commits
+      s"backlog applied as too few commits: $versions")
+    val watermarks = versions.map(v => table.readSnapshot(v).watermarkSegment)
+    assert(watermarks.contains(2L) && watermarks.contains(5L) &&
+      watermarks.contains(8L) && watermarks.contains(9L),
+      s"chunk boundaries not at 3-segment strides: $watermarks")
+    assert(table.read(spark).count() == oracleCount(spec))
+  }
+
   test("continuous mview maintenance tracks the streamed table to its final version") {
     import org.apache.spark.sql.functions._
     import graft.lake.MaterializedView
