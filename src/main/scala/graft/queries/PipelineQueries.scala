@@ -1187,6 +1187,41 @@ object PipelineQueries {
         .toDF("doc_id", "lang", "rk")
     }),
 
+    // GPT-style sequence packing (concatenate-and-chunk): documents in
+    // doc_id order are conceptually concatenated and sliced into fixed
+    // 512-token training sequences; each doc reports the sequence (bin)
+    // its first token lands in and the offset within it — the exact
+    // mapping a pretraining loader needs to pack a corpus without
+    // padding. The global prefix sum is HIERARCHICAL, never a global
+    // sort: per-block subtotals (one groupBy on doc_id div 64), a window
+    // cumsum over the tiny block table (n/64 rows — at 10^10 docs that is
+    // ~10^8 rows of two longs, and the block width is a knob), broadcast
+    // back, then a per-block window partitioned by blk. No stage sorts
+    // more than one block or the subtotal table; nothing data-sized
+    // crosses a single partition.
+    "ta_seq_pack" -> ((s, dir) => {
+      val L = 512L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("blk", expr("doc_id div 64"))
+      val wBlk = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blkBase = docs.groupBy(col("blk"))
+        .agg(sum(col("n_tokens")).as("blk_tokens"))
+        .withColumn("blk_base",
+          coalesce(sum(col("blk_tokens")).over(wBlk), lit(0L)))
+        .select(col("blk"), col("blk_base"))
+      val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(broadcast(blkBase), Seq("blk"))
+        .withColumn("prefix", col("blk_base") +
+          coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"prefix div $L").as("bin"),
+          (col("prefix") % L).as("bin_offset"))
+    }),
+
     // held-out decontamination (GPT-3-style 13-gram overlap rule): a train
     // doc is contaminated iff it shares ANY 13-token shingle with the
     // held-out set (doc_id % 50 == 0 here). The held-out side is small by
@@ -2267,6 +2302,21 @@ object PipelineQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sample')) AS rk
         |  FROM documents)
         |WHERE rk <= 30""".stripMargin,
+    // the oracle takes the direct O(n log n) global-window form of the
+    // same prefix sum the Spark side computes hierarchically
+    "ta_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM d)
+        |SELECT doc_id, n_tokens,
+        |  CAST(prefix // 512 AS BIGINT) AS bin,
+        |  CAST(prefix % 512 AS BIGINT) AS bin_offset
+        |FROM p""".stripMargin,
     "ta_repetition" ->
       """WITH g AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |n AS (SELECT doc_id, ts,

@@ -178,6 +178,26 @@ class QueriesSpec extends SparkTestBase {
     assert(byS.getOrElse("val", 0L) > 0 && byS.getOrElse("test", 0L) > 0)
   }
 
+  test("spot: ta_seq_pack matches a serial concatenate-and-chunk pack exactly") {
+    val got = SparkEntry.queries("ta_seq_pack")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // independent serial oracle: walk docs in doc_id order carrying the
+    // running token count — the hierarchical two-level prefix sum must
+    // reproduce this exactly, block boundaries invisible
+    var prefix = 0L
+    got.foreach { case (id, n, bin, off) =>
+      assert(bin == prefix / 512 && off == prefix % 512,
+        s"doc $id: got (bin=$bin, off=$off), serial pack says " +
+          s"(${prefix / 512}, ${prefix % 512})")
+      assert(off >= 0 && off < 512)
+      prefix += n
+    }
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(got.length == n, "every doc must be packed exactly once")
+    assert(got.last._3 > 0, "a 500-doc corpus must span multiple bins")
+  }
+
   test("spot: dd_decontaminate flags exactly the train docs sharing a 13-gram with held-out") {
     // independent oracle: brute-force distinct-shingle intersection per doc
     val docs = spark.read.parquet(s"$sf/documents.parquet")
