@@ -1222,6 +1222,40 @@ object PipelineQueries {
           (col("prefix") % L).as("bin_offset"))
     }),
 
+    // DoReMi-style domain-mix rebalancing, static form: compute each
+    // language's actual share of corpus tokens, derive the deterministic
+    // per-language keep rate that moves the mix toward a uniform target
+    // (downsample-only — over-represented slices thin out, rate capped at
+    // 1 for the rest), and stamp every doc with a salted-hash keep
+    // decision re-derivable from doc_id alone. Integer ppm arithmetic
+    // end to end for cross-engine parity. Scale shape: one tiny groupBy
+    // (|langs| rows), a broadcast of the rate table, then a pure per-row
+    // projection over the corpus — no data-sized shuffle at any width.
+    // (The ppm shares multiply lang_tokens by 10^6 before the divide;
+    // at a true 100-TB corpus — ~10^13 tokens — that product nears long
+    // range, so the scale form computes shares on DECIMAL(38,0) or
+    // pre-divides; the harness corpus is nowhere close.)
+    "ta_mix_rebalance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val totals = docs.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("lang_tokens"))
+      val grand = totals.agg(sum(col("lang_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_langs"))
+      val rates = totals.crossJoin(broadcast(grand))
+        .withColumn("actual_ppm",
+          greatest(expr("lang_tokens * 1000000 div total_tokens"), lit(1L)))
+        .withColumn("rate_ppm", least(lit(1000000L),
+          expr("(1000000 div n_langs) * 1000000 div actual_ppm")))
+        .select(col("lang"), col("rate_ppm"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .withColumn("h",
+          conv(substring(md5s(concat(col("doc_id").cast("string"), lit(":mix"))),
+            1, 15), 16, 10).cast("long") % 1000000L)
+        .select(col("doc_id"), col("lang"), col("rate_ppm"),
+          (col("h") < col("rate_ppm")).as("keep"))
+    }),
+
     // held-out decontamination (GPT-3-style 13-gram overlap rule): a train
     // doc is contaminated iff it shares ANY 13-token shingle with the
     // held-out set (doc_id % 50 == 0 here). The held-out side is small by
@@ -2317,6 +2351,21 @@ object PipelineQueries {
         |  CAST(prefix // 512 AS BIGINT) AS bin,
         |  CAST(prefix % 512 AS BIGINT) AS bin_offset
         |FROM p""".stripMargin,
+    "ta_mix_rebalance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT lang, SUM(n_tokens) AS lang_tokens FROM d GROUP BY lang),
+        |g AS (SELECT SUM(lang_tokens) AS total_tokens, CAST(COUNT(*) AS BIGINT) AS n_langs FROM t),
+        |r AS (
+        |  SELECT lang, CAST(LEAST(1000000,
+        |      (1000000 // n_langs) * 1000000
+        |        // GREATEST(lang_tokens * 1000000 // total_tokens, 1)) AS BIGINT) AS rate_ppm
+        |  FROM t, g)
+        |SELECT d.doc_id, d.lang, r.rate_ppm,
+        |  (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT)
+        |     % 1000000) < r.rate_ppm AS keep
+        |FROM d JOIN r USING (lang)""".stripMargin,
     "ta_repetition" ->
       """WITH g AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |n AS (SELECT doc_id, ts,

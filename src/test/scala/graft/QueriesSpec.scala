@@ -198,6 +198,29 @@ class QueriesSpec extends SparkTestBase {
     assert(got.last._3 > 0, "a 500-doc corpus must span multiple bins")
   }
 
+  test("spot: ta_mix_rebalance thins over-represented langs toward uniform, deterministically") {
+    val got = SparkEntry.queries("ta_mix_rebalance")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(got.length == n, "every doc must get a keep decision")
+    val rateByLang = got.map(t => t._2 -> t._3).distinct.toMap
+    assert(rateByLang.size == got.map(_._2).distinct.length,
+      "rate must be a pure function of lang")
+    // en dominates the corpus (≈40% of docs, uniform target is 20%):
+    // its keep rate must be a real downsample; the rarest lang must be
+    // kept whole (downsample-only contract, rate capped at 1)
+    assert(rateByLang("en") < 1000000L, s"en must thin: $rateByLang")
+    assert(rateByLang.values.max == 1000000L,
+      s"rarest lang must keep everything: $rateByLang")
+    got.foreach { case (id, lang, rate, keep) =>
+      assert(rate >= 1L && rate <= 1000000L)
+      // keep must be re-derivable from doc_id alone (auditability)
+      val h = BigInt(org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        s"$id:mix").substring(0, 15), 16).toLong % 1000000L
+      assert(keep == (h < rate), s"doc $id/$lang: keep not hash-derived")
+    }
+  }
+
   test("spot: dd_decontaminate flags exactly the train docs sharing a 13-gram with held-out") {
     // independent oracle: brute-force distinct-shingle intersection per doc
     val docs = spark.read.parquet(s"$sf/documents.parquet")
