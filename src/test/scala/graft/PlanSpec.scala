@@ -388,4 +388,44 @@ class PlanSpec extends SparkTestBase {
       s"asof should shuffle each side once onto the key, found more:\n$plan")
     assert(plan.contains("Window"), s"no window in asof plan:\n$plan")
   }
+
+  test("ta_seq_pack: hierarchical prefix sum — corpus windows partition by blk, one tiny global stage") {
+    // NOTE: the formatted explain prints exchange DISTRIBUTIONS in the
+    // trailing node-details section ("(9) Exchange / Arguments: …"), not
+    // in the tree — partitioning assertions search the whole string,
+    // tree-shape assertions (joins) search the final tree only
+    val plan = planString(SparkEntry.queries("ta_seq_pack")(spark, sf))
+    val finalOnly = plan.split(raw"\+- == Initial Plan ==").head
+    // the corpus-sized window must be partitioned by blk — a global
+    // (unpartitioned) window over doc_id would funnel the whole corpus
+    // through one partition, the exact plan this query exists to avoid
+    assert(plan.contains("hashpartitioning(blk"),
+      s"big-side window not partitioned by blk:\n$plan")
+    // the ONLY single-partition stage is the cumsum over the n/64-row
+    // block-subtotal table (one exchange node; the details section lists
+    // it once per tree it appears in — final + initial = at most 2)
+    val singles = raw"Arguments: SinglePartition".r.findAllIn(plan).length
+    assert(singles >= 1 && singles <= 2,
+      s"expected the single tiny SinglePartition exchange, found $singles:\n$plan")
+    // and the corpus relation never repartitions on doc identity
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"corpus side repartitioned on doc_id:\n$plan")
+    // the base-offset table must come back as a broadcast, not a shuffle
+    assert(finalOnly.contains("BroadcastHashJoin"),
+      s"blk_base join-back must broadcast:\n$plan")
+  }
+
+  test("ta_mix_rebalance: rate table broadcasts; corpus side never shuffles on data size") {
+    val plan = planString(SparkEntry.queries("ta_mix_rebalance")(spark, sf))
+    val finalOnly = plan.split(raw"\+- == Initial Plan ==").head
+    assert(finalOnly.contains("BroadcastHashJoin"),
+      s"per-lang rate join must broadcast:\n$plan")
+    // allowed exchanges are lang-level aggregations (|langs| rows); the
+    // corpus relation itself must reach the join without repartitioning,
+    // so no exchange may hash on doc-identity columns
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"corpus side repartitioned on doc_id:\n$plan")
+    assert(!finalOnly.contains("CartesianProduct"),
+      s"cartesian product in mix plan:\n$plan")
+  }
 }
