@@ -45,11 +45,8 @@ object Bench {
     val it = createdDirs.iterator()
     while (it.hasNext) {
       val p = it.next()
-      try {
-        import scala.jdk.CollectionConverters._
-        if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      } catch { case _: Exception => () }
+      try graft.lake.LakeTable.deleteRecursively(p)
+      catch { case _: Exception => () }
     }
   }
 
@@ -475,9 +472,8 @@ object Bench {
           CdcIngest.PagesSchemaV1, 64)
         CdcIngest.run(sM, table, mfeed,
           IngestConfig(numBuckets = 64, maxFileRows = 200))
-        import scala.jdk.CollectionConverters._
         def mans(): Map[String, Long] =
-          Files.list(table.manifestsDir).iterator().asScala
+          graft.lake.LakeTable.listDir(table.manifestsDir)
             .filterNot(_.getFileName.toString.startsWith("."))
             .map(p => p.getFileName.toString -> Files.size(p)).toMap
         val before = mans()

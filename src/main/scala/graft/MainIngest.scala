@@ -411,14 +411,9 @@ object MainIngest {
       if (orphans.isEmpty && tmpDirs.isEmpty) println("no orphan files")
       else if (rest.contains("--delete")) {
         orphans.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        tmpDirs.foreach { d =>
-          val st = java.nio.file.Files.walk(d)
-          val all = try {
-            import scala.jdk.CollectionConverters._
-            st.iterator().asScala.toVector
-          } finally st.close()
-          all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        // shared fd-safe recursive delete; no-op if a dir vanished
+        // between the staleTmpDirs() listing and this sweep
+        tmpDirs.foreach(LakeTable.deleteRecursively)
         println(s"deleted ${orphans.size} orphan files, " +
           s"${tmpDirs.size} stale tmp dirs")
       } else {

@@ -129,8 +129,11 @@ object RecordCodec {
         // fail fast on a corrupt length prefix: a non-positive or
         // past-the-end length would otherwise reposition the buffer
         // backwards (or not at all) and spin this iterator forever —
-        // the CRC-skipping key pass has no other guard
-        if (len <= 0 || off + len + crcLen > segment.length)
+        // the CRC-skipping key pass has no other guard. Subtraction
+        // form: `off + len + crcLen` would overflow Int for a corrupt
+        // len near Int.MaxValue and slip past an addition-form check
+        // (same rationale as verifySegment / truncationPoint).
+        if (len <= 0 || len > segment.length - off - crcLen)
           throw new CorruptRecordException(
             s"corrupt frame length $len at offset ${off - 4}")
         buf.position(off + len + crcLen)

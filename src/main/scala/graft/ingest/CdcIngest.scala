@@ -1518,21 +1518,11 @@ object CdcIngest {
       StructField(LakeTable.SeqCol, LongType),
       StructField(LakeTable.DeletedCol, BooleanType)))
 
-  /** Eager listing with the stream CLOSED — `Files.list`/`Files.walk`
-    * hold a directory fd until close(); dropping the stream leaks one
-    * per call (moveDataFiles runs per commit on a long trickle run). */
-  private def listDirClosed(dir: Path): Seq[Path] = {
-    val st = Files.list(dir)
-    try st.iterator().asScala.toVector
-    finally st.close()
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val st = Files.walk(p)
-      val all = try st.iterator().asScala.toVector finally st.close()
-      all.reverse.foreach(Files.deleteIfExists(_))
-    }
+  // fd-safe listing/deletion: the engine-wide utilities (streams closed;
+  // moveDataFiles runs per commit on a long trickle run, so a dropped
+  // stream here would leak an fd per commit)
+  private def listDirClosed(dir: Path): Seq[Path] = LakeTable.listDir(dir)
+  private def deleteRecursively(p: Path): Unit = LakeTable.deleteRecursively(p)
 
   // -------------------------------------------------------------------
   // driver loop: resumable from checkpoint (= the snapshot watermark)

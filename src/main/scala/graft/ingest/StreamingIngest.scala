@@ -131,7 +131,10 @@ object StreamingIngest {
     val run = pending.zipWithIndex
       .takeWhile { case ((id, _), i) => id == watermark + 1 + i }
       .map(_._1)
-    run.grouped(math.max(1, config.segmentsPerBatch))
+    // UNCLAMPED like the batch front-end (CdcIngest.run groups the same
+    // way): both front-ends must behave identically for the same config,
+    // including throwing on a non-positive segmentsPerBatch
+    run.grouped(config.segmentsPerBatch)
       .foreach(chunk => CdcIngest.applyBatch(spark, table, chunk, config))
     run.nonEmpty
   }

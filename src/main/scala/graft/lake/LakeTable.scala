@@ -157,16 +157,12 @@ final class LakeTable(val root: Path) {
     readSnapshot(versions.max)
   }
 
-  /** Directory listing materialized eagerly with the stream CLOSED —
-    * `Files.list` holds a directory fd until close(), and this runs on
-    * every snapshot load / commit gate / metadata query, so dropping
-    * the stream (as this file once did) leaks an fd per call until the
-    * driver hits EMFILE on a long trickle-ingest run. */
-  private def listDirEntries(dir: Path): Seq[Path] = {
-    val st = Files.list(dir)
-    try st.iterator().asScala.toVector
-    finally st.close()
-  }
+  /** Directory listing materialized eagerly with the stream CLOSED — this
+    * runs on every snapshot load / commit gate / metadata query, so a
+    * dropped stream would leak an fd per call until the driver hits
+    * EMFILE on a long trickle-ingest run. Delegates to the engine-wide
+    * [[LakeTable.listDir]]. */
+  private def listDirEntries(dir: Path): Seq[Path] = LakeTable.listDir(dir)
 
   def listVersions(): Seq[Long] =
     listDirEntries(snapshotsDir)
@@ -1206,21 +1202,34 @@ final class LakeTable(val root: Path) {
       .filter(p => !referenced.contains(root.relativize(p).toString))
   }
 
-  /** Root-level `.tmp-*` spill directories older than `olderThanMs` —
-    * crash debris from a writer killed between its Spark output and
-    * [[graft.ingest.CdcIngest]]'s move-into-place (which deletes the tmp
-    * dir on success). Invisible to every reader, but at scale a single
-    * abandoned dir is a whole batch rewrite of dead bytes, and neither
-    * [[orphanFiles]] (dataDir only) nor [[orphanManifests]] sweeps the
-    * root. The age guard keeps gc safe to run beside a LIVE ingest: an
-    * in-flight writer's tmp dir is minutes old, never hours. Swept by
-    * the gc CLI. */
+  /** Root-level `.tmp-*` spill directories whose ENTIRE tree is older
+    * than `olderThanMs` — crash debris from a writer killed between its
+    * Spark output and [[graft.ingest.CdcIngest]]'s move-into-place (which
+    * deletes the tmp dir on success). Invisible to every reader, but at
+    * scale a single abandoned dir is a whole batch rewrite of dead bytes,
+    * and neither [[orphanFiles]] (dataDir only) nor [[orphanManifests]]
+    * sweeps the root. The age guard is the NEWEST mtime anywhere in the
+    * tree, not the root dir's own: Spark task output lands in nested
+    * subdirectories (`_temporary/attempt…/`) and never touches the root
+    * dir's mtime, so a root-only guard would call a >1h-old dir stale
+    * while a long-running live job is still writing into it. A tree that
+    * mutates mid-walk (entry vanishes) is by definition live and is kept.
+    * Swept by the gc CLI. */
   def staleTmpDirs(olderThanMs: Long = 60L * 60 * 1000): Seq[Path] = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     listDirEntries(root)
       .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(".tmp-") &&
-        Files.getLastModifiedTime(p).toMillis < cutoff)
+        p.getFileName.toString.startsWith(".tmp-"))
+      .filter { d =>
+        try {
+          val st = Files.walk(d)
+          val newest =
+            try st.iterator().asScala
+              .map(p => Files.getLastModifiedTime(p).toMillis).max
+            finally st.close()
+          newest < cutoff
+        } catch { case _: java.io.IOException => false } // mutating → live
+      }
   }
 }
 
@@ -1258,6 +1267,27 @@ object LakeTable {
   val BroadcastDeleteRows: Long = 2000000L
   private val SnapName = raw"v(\d+)\.json".r
   private[lake] val Mapper = new ObjectMapper()
+
+  /** Eager fd-safe directory listing — `Files.list` holds a directory fd
+    * until close(), so dropping the stream leaks one per call. The ONE
+    * shared listing utility for the engine (table internals, ingest's
+    * move-into-place, bench/query fixtures) so an fd-handling fix lands
+    * everywhere at once. */
+  def listDir(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala.toVector
+    finally st.close()
+  }
+
+  /** Recursive delete with the walk stream CLOSED; no-op when `p` is
+    * absent (so a path that vanished between listing and deletion — e.g.
+    * a gc sweep racing a writer's own cleanup — is not an error). */
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      val all = try st.iterator().asScala.toVector finally st.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
 
   /** Bucket assignment — pure function of the key so it never needs to be
     * stored: `pmod(hash(url), numBuckets)` (north rule's salted url-hash

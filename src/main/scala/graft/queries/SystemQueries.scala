@@ -92,16 +92,12 @@ object SystemQueries {
     // part-0000k holds range k: pin ascending mtimes in part-name order so
     // the file stream source delivers the ranges oldest-first
     locally {
-      val parts = Files.list(stage).iterator()
-      val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-      while (parts.hasNext) {
-        val p = parts.next()
-        if (p.getFileName.toString.endsWith(".parquet")) sorted += p
-      }
-      sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, k) =>
-        Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + k * 60000L))
-      }
+      graft.lake.LakeTable.listDir(stage)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, k) =>
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + k * 60000L))
+        }
     }
     val sch = src.schema
     val sinkDir = Files.createTempDirectory("sessout").toString
@@ -422,10 +418,7 @@ object SystemQueries {
     if (Files.exists(marker) &&
         new String(Files.readAllBytes(marker), "UTF-8") == sig)
       return LakeTable.load(root.resolve("table").toString)
-    if (Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    LakeTable.deleteRecursively(root)
     Files.createDirectories(root)
     val feedDir = root.resolve("feed").toString
     FeedGen.writeSegments(CdcSpec, feedDir)
@@ -632,10 +625,7 @@ object SystemQueries {
     if (Files.exists(marker) &&
         new String(Files.readAllBytes(marker), "UTF-8") == sig)
       return LakeTable.load(root.resolve("table").toString)
-    if (Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    LakeTable.deleteRecursively(root)
     Files.createDirectories(root)
     val feedDir = root.resolve("feed").toString
     FeedGen.writeSegments(CdcSpec, feedDir)

@@ -167,6 +167,12 @@ class CodecSpec extends AnyFunSuite with PropHelpers {
     intercept[RecordCodec.CorruptRecordException] {
       RecordCodec.segmentOffsets(corrupt(seg.length)).toSeq
     }
+    // near-Int.MaxValue length: an addition-form bound (off + len + crc)
+    // would overflow negative and slip past the guard into
+    // buf.position(negative) — must be the TYPED corruption error
+    intercept[RecordCodec.CorruptRecordException] {
+      RecordCodec.segmentOffsets(corrupt(Int.MaxValue - 8)).toSeq
+    }
     // and the clean walk still yields every frame
     assert(offs.length == 3)
   }

@@ -33,20 +33,28 @@ class LakeMaintenanceSpec extends SparkTestBase {
   test("staleTmpDirs: old .tmp-* crash debris is swept, live writers' dirs are not") {
     val table = replay()
     // crash debris: a writer killed between Spark output and move-into-
-    // place leaves its .tmp dir behind; backdate it past the age guard
+    // place leaves its .tmp dir behind; backdate the WHOLE tree past the
+    // age guard (the guard is the newest mtime anywhere in the tree)
     val dead = table.root.resolve(".tmp-dead-crash")
     Files.createDirectories(dead.resolve(s"${LakeTable.BucketCol}=0"))
     Files.write(dead.resolve(s"${LakeTable.BucketCol}=0").resolve("part-0.parquet"),
       Array[Byte](1, 2, 3))
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 2L * 60 * 60 * 1000)
-    Files.setLastModifiedTime(dead, old)
-    // a LIVE ingest's tmp dir is fresh — must never be listed
+    Seq(dead, dead.resolve(s"${LakeTable.BucketCol}=0"),
+      dead.resolve(s"${LakeTable.BucketCol}=0").resolve("part-0.parquet"))
+      .foreach(Files.setLastModifiedTime(_, old))
+    // a LIVE long-running job: the tmp ROOT is old (Spark set it at job
+    // start) but a task file deep inside is fresh — must never be listed
+    // (this is the exact case a root-mtime-only guard got wrong)
     val live = table.root.resolve(".tmp-live-write")
-    Files.createDirectories(live)
+    Files.createDirectories(live.resolve("_temporary"))
+    Files.write(live.resolve("_temporary").resolve("part-0.parquet"),
+      Array[Byte](9))
+    Files.setLastModifiedTime(live, old) // stale root, fresh child
     val stale = table.staleTmpDirs()
     assert(stale.map(_.getFileName.toString) == Seq(".tmp-dead-crash"),
-      s"expected only the backdated dir, got $stale")
+      s"expected only the fully-backdated dir, got $stale")
     // neither shows up in the file/manifest orphan sweeps (the gap this
     // listing closes)
     assert(!table.orphanFiles().exists(_.toString.contains(".tmp-")))
