@@ -58,8 +58,16 @@ object StreamingIngest {
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
       mviewRoot: Option[String] = None): Long = {
-    val ckpt = checkpointDir.getOrElse(
-      Files.createTempDirectory("graft-stream-ckpt").toString)
+    val ckpt = checkpointDir.getOrElse {
+      // default checkpoints to tmpfs when present: the streaming commit log
+      // fsyncs many small files per micro-batch — the worst pattern for
+      // this box's slow virtualized /tmp (callers with durability needs
+      // pass an explicit checkpointDir, as the cdc_stream_* queries do)
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val base = if (Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      Files.createTempDirectory(base, "graft-stream-ckpt").toString
+    }
     var batches = 0L
     // the binaryFile source's fixed schema, required explicitly for streams
     val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(

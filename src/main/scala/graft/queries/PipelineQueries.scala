@@ -240,10 +240,17 @@ object PipelineQueries {
   /** Embedding dimensionality of the `embeddings` table (TESTDATA.md). */
   private val EmbedDim = 64
 
-  /** embeddings as (vec_id, v: array<double>). */
+  /** embeddings as (vec_id, v: array<double>). The table arrives as ONE
+    * parquet file → a single scan partition, which serialized every
+    * pair-generating join fed directly by the scan (measured: 2.2 s
+    * single-task stages in the IVF tiers). A round-robin repartition of
+    * the tiny vector table spreads the downstream O(N·cells) assignment
+    * work across the cluster; the exchange itself moves ~N·dim doubles
+    * once — noise against the pair work it parallelizes. */
   private def embed(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** Left-fold dot product — matches DuckDB's `list_dot_product` term order
     * exactly (same IEEE additions in the same order on both engines).
@@ -349,11 +356,17 @@ object PipelineQueries {
     * 21.9 s → the norms are the same IEEE value computed once per vector,
     * so oracle hash parity is untouched). */
   private def ivfCentroids(e: DataFrame, seeds: DataFrame): DataFrame = {
+    // group by the SCALAR key only: an array in the grouping key forces
+    // SortAggregate (arrays are not hash-aggregable), i.e. a full sort of
+    // the O(N·cells) pair table by 64-double array comparisons (measured
+    // as the dominant ANN stage). `v` is functionally dependent on vec_id,
+    // so first(v) carries it through the hash aggregate unchanged.
     val assigned0 = e.join(broadcast(seeds))
-      .groupBy(col("vec_id"), col("v"))
+      .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(
         (dotC(col("v"), col("cv")) / (col("nv") * col("ncv"))).as("c"),
-        (-col("cent_id")).as("nid"))).as("cell"))
+        (-col("cent_id")).as("nid"))).as("cell"),
+        first(col("v")).as("v"))
     assigned0.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long")).as("sq"),
@@ -377,13 +390,15 @@ object PipelineQueries {
       col("v").as("cv"), col("nv").as("ncv"))
 
   /** (vec_id, v, nv, cell): every vector assigned to its nearest refined
-    * centroid (cosine, tie → lowest cent_id). */
+    * centroid (cosine, tie → lowest cent_id). Scalar grouping key + first()
+    * carry-through — see [[ivfCentroids]] for the SortAggregate trap. */
   private def ivfAssigned(e: DataFrame, cent: DataFrame): DataFrame =
     e.join(broadcast(cent))
-      .groupBy(col("vec_id"), col("v"), col("nv"))
+      .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(
         (dotC(col("v"), col("cv")) / (col("nv") * col("ncv"))).as("c"),
-        (-col("cent_id")).as("nid"))).as("cell"))
+        (-col("cent_id")).as("nid"))).as("cell"),
+        first(col("v")).as("v"), first(col("nv")).as("nv"))
 
   /** (query_id, qv, nqv, cell): each query's nprobe nearest cells. */
   private def ivfQCells(e: DataFrame, cent: DataFrame, nprobe: Long): DataFrame = {
@@ -404,6 +419,10 @@ object PipelineQueries {
     val e = embed(s, dir)
       .withColumn("nv", sqrt(dotC(col("v"), col("v"))))
     val (cells, nprobe, stride) = ivfParams(e.count(), probeDiv)
+    // no localCheckpoint here: Spark's exchange reuse already computes the
+    // centroid training chain once (ReusedExchange in the plan — verified
+    // in plans/r06); an eager checkpoint was measured ~1s SLOWER (it adds
+    // a materialization barrier and blocks subtree reuse around it)
     val cent = ivfCentroids(e, ivfSeeds(e, cells, stride))
     broadcast(ivfQCells(e, cent, nprobe)).join(ivfAssigned(e, cent), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -452,13 +471,17 @@ object PipelineQueries {
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
           .cast("double")).as("mv"))
+      .repartition(s.sparkContext.defaultParallelism) // single-file scan → parallel pair work (see embed)
     val stride = math.max(1L, e.count() / KmeansK)
+    // scalar grouping key + first() carry-through — see ivfCentroids for
+    // the array-grouping SortAggregate trap
     def assign(cent: DataFrame): DataFrame =
       e.join(broadcast(cent))
-        .groupBy(col("vec_id"), col("mv"))
+        .groupBy(col("vec_id"))
         .agg(max_by(col("cid"), struct(
           (-l2sq(col("mv"), col("cv"))).as("nd"),
-          (-col("cid")).as("nid"))).as("cell"))
+          (-col("cid")).as("nid"))).as("cell"),
+          first(col("mv")).as("mv"))
     def update(assigned: DataFrame): DataFrame =
       assigned.select(col("cell"), posexplode(col("mv")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -514,10 +537,13 @@ object PipelineQueries {
         col("v"), ms)
       .select(col("cent_id"), col("m"),
         slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("scv"))
+    // scalar grouping keys + first() carry-through — see ivfCentroids for
+    // the array-grouping SortAggregate trap
     val assign0 = subs.join(broadcast(seeds), Seq("m"))
-      .groupBy(col("vec_id"), col("m"), col("sv"))
+      .groupBy(col("vec_id"), col("m"))
       .agg(max_by(col("cent_id"), struct(
-        (-l2sq(col("sv"), col("scv"))).as("nd"), (-col("cent_id")).as("nid"))).as("cell"))
+        (-l2sq(col("sv"), col("scv"))).as("nd"), (-col("cent_id")).as("nid"))).as("cell"),
+        first(col("sv")).as("sv"))
     val cent = assign0
       .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("m"), col("cell"), col("pos"))

@@ -27,34 +27,104 @@ import graft.ops.AsofJoin
   * contract in-JVM. */
 object SystemQueries {
 
+  /** RAM-backed scratch for query-internal staging (streaming checkpoints,
+    * sinks, synthesized feeds, replay tables): this box's /tmp sits on a
+    * virtualized disk with high-variance latency (the same measurement that
+    * moved [[graft.Bench]]'s shuffle scratch to tmpfs — guide §6 "I/O"),
+    * and the streaming state store in particular commits many small delta
+    * files per micro-batch, the worst pattern for it. Staging is harness
+    * plumbing, not the computation under test — the oracle-checked inputs
+    * (TruthDir, MetaRoot, DvRoot, MediaRoot) keep their fixed /tmp paths
+    * because the static oracle SQL names them. Falls back to the default
+    * tmp dir when /dev/shm is unavailable (a real cluster's local dirs). */
+  private val ScratchBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (Files.isWritable(shm)) shm.resolve("graft-q")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-q")
+    Files.createDirectories(base)
+    // stale-run sweep: query staging dirs cannot be deleted at query time
+    // (the returned DataFrames read from them lazily), so each fresh JVM
+    // clears leftovers older than 6 h — bounds tmpfs growth across rounds
+    // without racing a concurrently-running sibling JVM
+    try {
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      LakeTable.listDir(base).foreach { p =>
+        try if (Files.getLastModifiedTime(p).toMillis < cutoff)
+          LakeTable.deleteRecursively(p)
+        catch { case _: Exception => () }
+      }
+    } catch { case _: Exception => () }
+    base
+  }
+
+  private def tmpDir(prefix: String): java.nio.file.Path =
+    Files.createTempDirectory(ScratchBase, prefix)
+
+  /** Run `body` with `spark.sql.shuffle.partitions` DERIVED from the input
+    * size instead of the session constant (guide §2.2: size shuffle
+    * partitions from the data; the bench session pins cores-many partitions
+    * — right for the 16M-event ingest, 32 near-empty tasks per exchange for
+    * a KB-sized replay feed or stream slice). partitions =
+    * ceil(bytes / target), floor 1, no upper cap — at 100 TB the same rule
+    * derives thousands of partitions, so nothing here is tuned to local
+    * mode; target bytes is env-tunable (SPARK_GRAFT_SHUFFLE_TARGET_BYTES,
+    * default 32 MB). Only callers that EXECUTE their work inside `body`
+    * (streaming awaitTermination, engine replays, eager checkpoints) use
+    * this — the conf is restored on exit, so a lazy DataFrame that escapes
+    * the scope would plan with the session value again. For the streaming
+    * queries the value is also the state-store partition count, i.e. the
+    * number of per-micro-batch state commits. */
+  private def withSizedShuffle[T](s: SparkSession, inputBytes: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val target = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_TARGET_BYTES",
+      (32L * 1024 * 1024).toString).toLong
+    val n = math.max(1L, (inputBytes + target - 1) / target)
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Total bytes under a path (file or directory, one level). */
+  private def sizeOf(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    try {
+      if (Files.isDirectory(p)) LakeTable.listDir(p).map(f =>
+        try Files.size(f) catch { case _: Exception => 0L }).sum
+      else Files.size(p)
+    } catch { case _: Exception => 0L }
+  }
+
   // ---- structured streaming: availableNow replay → windowed aggregation ----
   private def strmHourly(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val sch = s.read.parquet(path).schema
     // the file streaming source wants a directory — stage the single
     // parquet file behind a symlink (copy fallback)
-    val srcDir = Files.createTempDirectory("strmsrc")
+    val srcDir = tmpDir("strmsrc")
     val staged = srcDir.resolve("events.parquet")
     try Files.createSymbolicLink(staged, java.nio.file.Paths.get(path))
     catch { case _: Exception => Files.copy(java.nio.file.Paths.get(path), staged) }
     // complete-mode result lands in a parquet sink via foreachBatch
     // (executor-side write, overwritten per micro-batch) instead of the
     // round-1 memory sink, which accumulated the whole result on the driver
-    val sinkDir = Files.createTempDirectory("strmsink").toString
-    val q = s.readStream.schema(sch).parquet(srcDir.toString)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n"), col("total_value"))
-      .writeStream.outputMode("complete")
-      .option("checkpointLocation", Files.createTempDirectory("strmck").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(sinkDir)
-      }
-      .start()
-    q.awaitTermination()
+    val sinkDir = tmpDir("strmsink").toString
+    withSizedShuffle(s, sizeOf(path)) {
+      val q = s.readStream.schema(sch).parquet(srcDir.toString)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", tmpDir("strmck").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(sinkDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sinkDir)
   }
 
@@ -86,7 +156,7 @@ object SystemQueries {
     // timestamp so epoch casts and the Timestamp encoder both apply
     val src = s.read.parquet(s"$dir/events.parquet")
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
-    val stage = Files.createTempDirectory("sessrc")
+    val stage = tmpDir("sessrc")
     src.repartitionByRange(4, col("ts"), col("event_id"))
       .write.mode("overwrite").parquet(stage.toString)
     // part-0000k holds range k: pin ascending mtimes in part-name order so
@@ -100,7 +170,8 @@ object SystemQueries {
         }
     }
     val sch = src.schema
-    val sinkDir = Files.createTempDirectory("sessout").toString
+    val sinkDir = tmpDir("sessout").toString
+    withSizedShuffle(s, sizeOf(stage.toString)) {
     val q = s.readStream.schema(sch)
       .option("maxFilesPerTrigger", 1)
       .parquet(stage.toString)
@@ -150,13 +221,14 @@ object SystemQueries {
           out.result().iterator
       }
       .writeStream.outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("sessck").toString)
+      .option("checkpointLocation", tmpDir("sessck").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
         batch.toDF().write.mode("append").parquet(sinkDir)
       }
       .start()
     q.awaitTermination()
+    }
     s.read.parquet(sinkDir)
   }
 
@@ -166,9 +238,18 @@ object SystemQueries {
     * staging only: a real deployment's source (Kafka / WAL segments)
     * arrives pre-sliced. */
   private def stageSlices(slices: Seq[DataFrame]): java.nio.file.Path = {
-    val stage = Files.createTempDirectory("stg")
-    slices.zipWithIndex.foreach { case (df, k) =>
-      val tmp = Files.createTempDirectory("slice")
+    val stage = tmpDir("stg")
+    // the slice writes are independent jobs over the same source — submit
+    // them concurrently from driver threads (guide §2.6 "overlap
+    // independent jobs") instead of paying #slices sequential
+    // scan-filter-write barriers; each coalesce(1) job is single-task, so
+    // concurrency is what recovers the lost parallelism. mtimes are pinned
+    // AFTER all writes land, so drain order is unaffected.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = slices.zipWithIndex.map { case (df, k) => Future {
+      val tmp = tmpDir("slice")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val st = Files.list(tmp) // try/finally: the stream holds an open fd
       val moved =
@@ -180,15 +261,18 @@ object SystemQueries {
             if (p.getFileName.toString.endsWith(".parquet")) {
               val dst = stage.resolve(f"slice-$k%04d.parquet")
               Files.move(p, dst)
-              Files.setLastModifiedTime(dst,
-                java.nio.file.attribute.FileTime.fromMillis(
-                  1_000_000_000_000L + k * 60000L))
               done = true
             }
           }
           done
         } finally st.close()
       require(moved, s"slice $k produced no parquet part")
+    }}
+    Await.result(Future.sequence(writes), Duration.Inf)
+    (0 until slices.size).foreach { k =>
+      Files.setLastModifiedTime(stage.resolve(f"slice-$k%04d.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          1_000_000_000_000L + k * 60000L))
     }
     stage
   }
@@ -230,15 +314,17 @@ object SystemQueries {
         |click_ts <= purchase_ts""".stripMargin))
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"))
-    val sinkDir = Files.createTempDirectory("ssjsink").toString
-    val q = joined.writeStream.outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("ssjck").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(sinkDir)
-      }
-      .start()
-    q.awaitTermination()
+    val sinkDir = tmpDir("ssjsink").toString
+    withSizedShuffle(s, sizeOf(pDir.toString) + sizeOf(cDir.toString)) {
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", tmpDir("ssjck").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sinkDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sinkDir)
   }
 
@@ -274,24 +360,26 @@ object SystemQueries {
     val stage = stageSlices((0 until WmSlices).map(k =>
       src.filter(pmod(col("event_id"), lit(WmSlices)) === k)))
     val sch = src.schema
-    val sinkDir = Files.createTempDirectory("wmsink").toString
-    val q = s.readStream.schema(sch)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stage.toString)
-      .withWatermark("ts", WmDelay)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n"), col("total_value"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("wmck").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(sinkDir)
-      }
-      .start()
-    q.awaitTermination()
+    val sinkDir = tmpDir("wmsink").toString
+    withSizedShuffle(s, sizeOf(stage.toString)) {
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString)
+        .withWatermark("ts", WmDelay)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmpDir("wmck").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sinkDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sinkDir)
   }
 
@@ -321,20 +409,22 @@ object SystemQueries {
       src, // batch 0: every event
       src.filter(pmod(col("event_id"), lit(7)) === 0), // redelivery 1
       src.filter(pmod(col("event_id"), lit(13)) === 0))) // redelivery 2
-    val sinkDir = Files.createTempDirectory("ddsink").toString
-    val q = s.readStream.schema(src.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stage.toString)
-      .withWatermark("ts", "90 days")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("ddck").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(sinkDir)
-      }
-      .start()
-    q.awaitTermination()
+    val sinkDir = tmpDir("ddsink").toString
+    withSizedShuffle(s, sizeOf(stage.toString)) {
+      val q = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString)
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmpDir("ddck").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sinkDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sinkDir)
   }
 
@@ -424,8 +514,10 @@ object SystemQueries {
     FeedGen.writeSegments(CdcSpec, feedDir)
     val table = LakeTable.create(root.resolve("table").toString,
       CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
-    CdcIngest.run(s, table, feedDir, IngestConfig(numBuckets = CdcBuckets,
-      segmentsPerBatch = 1, mergeOnRead = true))
+    withSizedShuffle(s, sizeOf(feedDir)) {
+      CdcIngest.run(s, table, feedDir, IngestConfig(numBuckets = CdcBuckets,
+        segmentsPerBatch = 1, mergeOnRead = true))
+    }
     Files.write(marker, sig.getBytes("UTF-8"))
     table
   }
@@ -435,13 +527,15 @@ object SystemQueries {
     * snapshot commits), multi-batch so cross-batch LWW and tombstones are
     * exercised. */
   private def replayTable(s: SparkSession): LakeTable = {
-    val work = Files.createTempDirectory("cdcq")
+    val work = tmpDir("cdcq")
     val feedDir = work.resolve("feed").toString
     FeedGen.writeSegments(CdcSpec, feedDir)
     val table = LakeTable.create(work.resolve("table").toString,
       CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
-    CdcIngest.run(s, table, feedDir,
-      IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 2))
+    withSizedShuffle(s, sizeOf(feedDir)) {
+      CdcIngest.run(s, table, feedDir,
+        IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 2))
+    }
     table
   }
 
@@ -471,14 +565,16 @@ object SystemQueries {
     * driver-checkable equality. */
   def cdcStreamReplay(s: SparkSession, dir: String): DataFrame = {
     writeTruth(s)
-    val work = Files.createTempDirectory("cdcs")
+    val work = tmpDir("cdcs")
     val feedDir = work.resolve("feed").toString
     FeedGen.writeSegments(CdcSpec, feedDir)
     val table = LakeTable.create(work.resolve("table").toString,
       CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
-    graft.ingest.StreamingIngest.run(s, table, feedDir,
-      IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 2),
-      checkpointDir = Some(work.resolve("ckpt").toString))
+    withSizedShuffle(s, sizeOf(feedDir)) {
+      graft.ingest.StreamingIngest.run(s, table, feedDir,
+        IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 2),
+        checkpointDir = Some(work.resolve("ckpt").toString))
+    }
     finalState(s, table)
   }
 
@@ -491,7 +587,7 @@ object SystemQueries {
     * deltas so the query also proves fold-then-stack composes. */
   def cdcMorReplay(s: SparkSession, dir: String): DataFrame = {
     writeTruth(s)
-    val work = Files.createTempDirectory("cdcmor")
+    val work = tmpDir("cdcmor")
     val feedDir = work.resolve("feed").toString
     FeedGen.writeSegments(CdcSpec, feedDir)
     val table = LakeTable.create(work.resolve("table").toString,
@@ -499,9 +595,11 @@ object SystemQueries {
     val cfg = IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 1,
       mergeOnRead = true)
     val segs = CdcIngest.listSegments(feedDir, s.sessionState.newHadoopConf())
-    segs.grouped(cfg.segmentsPerBatch).zipWithIndex.foreach { case (b, i) =>
-      CdcIngest.applyBatch(s, table, b, cfg)
-      if (i == 1) CdcIngest.compact(s, table) // fold mid-replay, then re-stack
+    withSizedShuffle(s, sizeOf(feedDir)) {
+      segs.grouped(cfg.segmentsPerBatch).zipWithIndex.foreach { case (b, i) =>
+        CdcIngest.applyBatch(s, table, b, cfg)
+        if (i == 1) CdcIngest.compact(s, table) // fold mid-replay, then re-stack
+      }
     }
     finalState(s, table)
   }
@@ -519,7 +617,7 @@ object SystemQueries {
     * breaks the hash. */
   def cdcTornTail(s: SparkSession): DataFrame = {
     writeTruth(s)
-    val work = Files.createTempDirectory("cdctorn")
+    val work = tmpDir("cdctorn")
     val feedDir = work.resolve("feed").toString
     val paths = FeedGen.writeSegments(CdcSpec, feedDir)
     val tailPath = paths.last
@@ -539,8 +637,10 @@ object SystemQueries {
     Files.write(tailPath, java.util.Arrays.copyOfRange(torn, 0, cut))
     val table = LakeTable.create(work.resolve("table").toString,
       CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
-    CdcIngest.run(s, table, feedDir,
-      IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 2))
+    withSizedShuffle(s, sizeOf(feedDir)) {
+      CdcIngest.run(s, table, feedDir,
+        IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 2))
+    }
     finalState(s, table)
   }
 
@@ -572,7 +672,7 @@ object SystemQueries {
     * alignment nulls it for every post-rename one — either breaks the hash. */
   def cdcRenameEvolution(s: SparkSession): DataFrame = {
     writeTruth(s)
-    val work = Files.createTempDirectory("cdcren")
+    val work = tmpDir("cdcren")
     val feedDir = work.resolve("feed").toString
     FeedGen.writeSegments(CdcSpec, feedDir)
     val table = LakeTable.create(work.resolve("table").toString,
@@ -580,11 +680,13 @@ object SystemQueries {
     val cfg = IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 1)
     val segs = CdcIngest.listSegments(feedDir, s.sessionState.newHadoopConf())
     val (first, rest) = segs.splitAt(segs.size / 2)
-    first.foreach(sg => CdcIngest.applyBatch(s, table, Seq(sg), cfg))
-    table.renameColumn("lang", "language")
-    table.dropColumn("html")
-    rest.foreach(sg =>
-      CdcIngest.applyBatch(s, table, Seq(sg), cfg.copy(mergeOnRead = true)))
+    withSizedShuffle(s, sizeOf(feedDir)) {
+      first.foreach(sg => CdcIngest.applyBatch(s, table, Seq(sg), cfg))
+      table.renameColumn("lang", "language")
+      table.dropColumn("html")
+      rest.foreach(sg =>
+        CdcIngest.applyBatch(s, table, Seq(sg), cfg.copy(mergeOnRead = true)))
+    }
     table.read(s).select(col("url"), col("warc_ts"), col("language"),
       md5(col("text").cast("binary")).as("text_fp"),
       col("fetch_status"), col("content_len"))
@@ -602,7 +704,7 @@ object SystemQueries {
     * duplicates a row breaks the hash outright. */
   def cdcRebucket(s: SparkSession): DataFrame = {
     writeTruth(s)
-    val work = Files.createTempDirectory("cdcrbk")
+    val work = tmpDir("cdcrbk")
     val feedDir = work.resolve("feed").toString
     FeedGen.writeSegments(CdcSpec, feedDir)
     val table = LakeTable.create(work.resolve("table").toString,
@@ -610,11 +712,13 @@ object SystemQueries {
     val cfg = IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 1)
     val segs = CdcIngest.listSegments(feedDir, s.sessionState.newHadoopConf())
     val (first, rest) = segs.splitAt(segs.size / 2)
-    first.foreach(sg => CdcIngest.applyBatch(s, table, Seq(sg), cfg))
-    CdcIngest.rebucket(s, table, CdcBuckets * 2)
-    // no config change: applyBatch plans layout from the SNAPSHOT's
-    // numBuckets, so the second half lands on the new spec automatically
-    rest.foreach(sg => CdcIngest.applyBatch(s, table, Seq(sg), cfg))
+    withSizedShuffle(s, sizeOf(feedDir)) {
+      first.foreach(sg => CdcIngest.applyBatch(s, table, Seq(sg), cfg))
+      CdcIngest.rebucket(s, table, CdcBuckets * 2)
+      // no config change: applyBatch plans layout from the SNAPSHOT's
+      // numBuckets, so the second half lands on the new spec automatically
+      rest.foreach(sg => CdcIngest.applyBatch(s, table, Seq(sg), cfg))
+    }
     finalState(s, table)
   }
 
@@ -631,8 +735,10 @@ object SystemQueries {
     FeedGen.writeSegments(CdcSpec, feedDir)
     val table = LakeTable.create(root.resolve("table").toString,
       CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
-    CdcIngest.run(s, table, feedDir, IngestConfig(numBuckets = CdcBuckets,
-      segmentsPerBatch = 1, mergeOnRead = true, deleteVectors = true))
+    withSizedShuffle(s, sizeOf(feedDir)) {
+      CdcIngest.run(s, table, feedDir, IngestConfig(numBuckets = CdcBuckets,
+        segmentsPerBatch = 1, mergeOnRead = true, deleteVectors = true))
+    }
     Files.write(marker, sig.getBytes("UTF-8"))
     table
   }
@@ -695,7 +801,7 @@ object SystemQueries {
     // breaks the hash
     "cdc_decode_stats" -> ((s, dir) => {
       writeTruth(s)
-      val work = Files.createTempDirectory("cdcd")
+      val work = tmpDir("cdcd")
       val paths = FeedGen.writeSegments(CdcSpec, work.toString).map(_.toString)
       CdcIngest.eventsDf(s, paths)
         .groupBy(col("op"), col("schema_version"))
@@ -740,7 +846,9 @@ object SystemQueries {
     "cdc_time_slice" -> ((s, dir) => {
       writeTruth(s)
       val table = replayTable(s)
-      CdcIngest.compact(s, table, maxFileRows = 8)
+      withSizedShuffle(s, sizeOf(table.dataDir.toString)) {
+        CdcIngest.compact(s, table, maxFileRows = 8)
+      }
       table.readRange(s, SliceLoMicros, SliceHiMicros)
         .select(col("url"), col("warc_ts"), col("lang"),
           md5(col("text").cast("binary")).as("text_fp"))
@@ -759,8 +867,10 @@ object SystemQueries {
     "cdc_zorder_slice" -> ((s, dir) => {
       writeTruth(s)
       val table = replayTable(s)
-      CdcIngest.compact(s, table, maxFileRows = 8,
-        zOrderBy = Seq("warc_ts", "content_len"))
+      withSizedShuffle(s, sizeOf(table.dataDir.toString)) {
+        CdcIngest.compact(s, table, maxFileRows = 8,
+          zOrderBy = Seq("warc_ts", "content_len"))
+      }
       table.readColRange(s, "content_len", Some("20000"), Some("40000"))
         .select(col("url"), col("warc_ts"), col("lang"),
           md5(col("text").cast("binary")).as("text_fp"), col("content_len"))
@@ -846,7 +956,7 @@ object SystemQueries {
     // running the same fold over the truth stream.
     "cdc_scd2" -> ((s, dir) => {
       writeTruth(s)
-      val work = Files.createTempDirectory("cdc2")
+      val work = tmpDir("cdc2")
       val paths = FeedGen.writeSegments(CdcSpec, work.toString).map(_.toString)
       val w = Window.partitionBy(col("url"))
         .orderBy(col("warc_ts").asc, col("seq").asc)
@@ -869,7 +979,7 @@ object SystemQueries {
     // probe × history pair blow-up (see [[graft.ops.AsofJoin]]).
     "cdc_asof_state" -> ((s, dir) => {
       writeTruth(s)
-      val work = Files.createTempDirectory("cdca")
+      val work = tmpDir("cdca")
       val paths = FeedGen.writeSegments(CdcSpec, work.toString).map(_.toString)
       val ev = CdcIngest.eventsDf(s, paths)
         .select(col("url"), col("seq"), col("warc_ts"), col("op"),
@@ -907,19 +1017,21 @@ object SystemQueries {
     // here; cdc_domain_stats carries last_crawl on the recompute path.
     "cdc_incr_mview" -> ((s, dir) => {
       writeTruth(s)
-      val work = Files.createTempDirectory("cdcm")
+      val work = tmpDir("cdcm")
       val feedDir = work.resolve("feed").toString
       FeedGen.writeSegments(CdcSpec, feedDir)
       val table = LakeTable.create(work.resolve("table").toString,
         CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
-      // one commit per segment → 4 snapshot versions → 3 refresh steps
-      CdcIngest.run(s, table, feedDir,
-        IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 1))
-      val vs = table.listVersions().sorted
-      val mvRoot = work.resolve("mv").toString
-      MaterializedView.seed(s, table, mvRoot, Some(vs(1)))
-      vs.drop(2).foreach(v => MaterializedView.refresh(s, table, mvRoot, Some(v)))
-      MaterializedView.read(s, mvRoot)
+      withSizedShuffle(s, sizeOf(feedDir)) {
+        // one commit per segment → 4 snapshot versions → 3 refresh steps
+        CdcIngest.run(s, table, feedDir,
+          IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 1))
+        val vs = table.listVersions().sorted
+        val mvRoot = work.resolve("mv").toString
+        MaterializedView.seed(s, table, mvRoot, Some(vs(1)))
+        vs.drop(2).foreach(v => MaterializedView.refresh(s, table, mvRoot, Some(v)))
+        MaterializedView.read(s, mvRoot)
+      }
     }),
 
     // the CONTINUOUS form of the same contract: the MV is maintained by
@@ -929,15 +1041,17 @@ object SystemQueries {
     // delta folds, and the MV commit protocol all under one hash equality.
     "cdc_stream_mview" -> ((s, dir) => {
       writeTruth(s)
-      val work = Files.createTempDirectory("cdcsm")
+      val work = tmpDir("cdcsm")
       val feedDir = work.resolve("feed").toString
       FeedGen.writeSegments(CdcSpec, feedDir)
       val table = LakeTable.create(work.resolve("table").toString,
         CdcIngest.PagesSchemaV1, numBuckets = CdcBuckets)
-      graft.ingest.StreamingIngest.run(s, table, feedDir,
-        IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 2),
-        checkpointDir = Some(work.resolve("ckpt").toString),
-        mviewRoot = Some(work.resolve("mv").toString))
+      withSizedShuffle(s, sizeOf(feedDir)) {
+        graft.ingest.StreamingIngest.run(s, table, feedDir,
+          IngestConfig(numBuckets = CdcBuckets, segmentsPerBatch = 2),
+          checkpointDir = Some(work.resolve("ckpt").toString),
+          mviewRoot = Some(work.resolve("mv").toString))
+      }
       MaterializedView.read(s, work.resolve("mv").toString)
     })
   )
