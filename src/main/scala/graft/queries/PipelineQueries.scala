@@ -356,17 +356,24 @@ object PipelineQueries {
     * 21.9 s → the norms are the same IEEE value computed once per vector,
     * so oracle hash parity is untouched). */
   private def ivfCentroids(e: DataFrame, seeds: DataFrame): DataFrame = {
-    // group by the SCALAR key only: an array in the grouping key forces
-    // SortAggregate (arrays are not hash-aggregable), i.e. a full sort of
-    // the O(N·cells) pair table by 64-double array comparisons (measured
-    // as the dominant ANN stage). `v` is functionally dependent on vec_id,
-    // so first(v) carries it through the hash aggregate unchanged.
+    // Narrow-row assignment (two measured traps fixed here):
+    //  1. group by the SCALAR key only — an array in the grouping key
+    //     forces SortAggregate, a full sort of the O(N·cells) pair table
+    //     by 64-double array comparisons;
+    //  2. project each pair to (vec_id, cent_id, c) BEFORE the aggregate —
+    //     carrying the vector through the agg (first(v)) materialized
+    //     ~1 KB per pair row at the agg boundary; the narrow form computes
+    //     the cosine inside the fused join stage, aggregates 24-byte rows,
+    //     and re-attaches `v` with ONE per-key join afterwards.
+    // Same argmax, same tie-break, same doubles — oracle hash untouched.
     val assigned0 = e.join(broadcast(seeds))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(
+      .select(col("vec_id"),
         (dotC(col("v"), col("cv")) / (col("nv") * col("ncv"))).as("c"),
-        (-col("cent_id")).as("nid"))).as("cell"),
-        first(col("v")).as("v"))
+        col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("c"),
+        (-col("cent_id")).as("nid"))).as("cell"))
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
     assigned0.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long")).as("sq"),
@@ -390,15 +397,17 @@ object PipelineQueries {
       col("v").as("cv"), col("nv").as("ncv"))
 
   /** (vec_id, v, nv, cell): every vector assigned to its nearest refined
-    * centroid (cosine, tie → lowest cent_id). Scalar grouping key + first()
-    * carry-through — see [[ivfCentroids]] for the SortAggregate trap. */
+    * centroid (cosine, tie → lowest cent_id). Narrow-row assignment — see
+    * [[ivfCentroids]] for the two measured traps this shape avoids. */
   private def ivfAssigned(e: DataFrame, cent: DataFrame): DataFrame =
     e.join(broadcast(cent))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(
+      .select(col("vec_id"),
         (dotC(col("v"), col("cv")) / (col("nv") * col("ncv"))).as("c"),
-        (-col("cent_id")).as("nid"))).as("cell"),
-        first(col("v")).as("v"), first(col("nv")).as("nv"))
+        col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("c"),
+        (-col("cent_id")).as("nid"))).as("cell"))
+      .join(e, Seq("vec_id"))
 
   /** (query_id, qv, nqv, cell): each query's nprobe nearest cells. */
   private def ivfQCells(e: DataFrame, cent: DataFrame, nprobe: Long): DataFrame = {
@@ -472,16 +481,24 @@ object PipelineQueries {
         x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
           .cast("double")).as("mv"))
       .repartition(s.sparkContext.defaultParallelism) // single-file scan → parallel pair work (see embed)
+      // pair-invariant norm, once per vector (see pqReconstruct): the
+      // substituted ((nmv - 2·dot) + ncv) is l2sq's exact IEEE tree
+      .withColumn("nmv", dotC(col("mv"), col("mv")))
     val stride = math.max(1L, e.count() / KmeansK)
-    // scalar grouping key + first() carry-through — see ivfCentroids for
-    // the array-grouping SortAggregate trap
-    def assign(cent: DataFrame): DataFrame =
-      e.join(broadcast(cent))
+    def l2n(na: Column, a: Column, b: Column, nb: Column): Column =
+      na - lit(2.0) * dotC(a, b) + nb
+    // narrow-row assignment — see ivfCentroids for the two measured traps
+    def assign(cent: DataFrame): DataFrame = {
+      val c = cent.withColumn("ncv", dotC(col("cv"), col("cv")))
+      e.join(broadcast(c))
+        .select(col("vec_id"),
+          (-l2n(col("nmv"), col("mv"), col("cv"), col("ncv"))).as("nd"),
+          col("cid"))
         .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(
-          (-l2sq(col("mv"), col("cv"))).as("nd"),
-          (-col("cid")).as("nid"))).as("cell"),
-          first(col("mv")).as("mv"))
+        .agg(max_by(col("cid"), struct(col("nd"),
+          (-col("cid")).as("nid"))).as("cell"))
+        .join(e.select(col("vec_id"), col("mv")), Seq("vec_id"))
+    }
     def update(assigned: DataFrame): DataFrame =
       assigned.select(col("cell"), posexplode(col("mv")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -500,8 +517,9 @@ object PipelineQueries {
         col("mv").as("cv"))
     var cent = seeds
     for (_ <- 1 to KmeansIters) cent = update(assign(cent)).localCheckpoint()
-    e.join(broadcast(cent))
-      .select(col("vec_id"), col("cid"), l2sq(col("mv"), col("cv")).as("d"))
+    e.join(broadcast(cent.withColumn("ncv", dotC(col("cv"), col("cv")))))
+      .select(col("vec_id"), col("cid"),
+        l2n(col("nmv"), col("mv"), col("cv"), col("ncv")).as("d"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cid"), col("d")), struct(
         (-col("d")).as("nd"), (-col("cid")).as("nid"))).as("w"))
@@ -527,9 +545,16 @@ object PipelineQueries {
     * ever touch full-precision vectors. */
   private def pqReconstruct(e: DataFrame, k: Int, stride: Long): DataFrame = {
     val ms = explode(sequence(lit(0), lit(PqM - 1))).as("m")
+    // Pair-invariant norms are computed ONCE per side before the O(N·K)
+    // assignment joins: l2sq's dot(a,a)/dot(b,b) terms do not depend on
+    // the pair, so evaluating them per pair tripled the hot loop's array
+    // work (the ivfCentroids nv/ncv trick applied to the PQ subspaces).
+    // The substituted form ((nsv - 2·dot) + nscv) is the IDENTICAL IEEE
+    // expression tree l2sq builds — same doubles, oracle hash untouched.
     val subs = e.select(col("vec_id"), col("v"), ms)
       .select(col("vec_id"), col("m"),
         slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
+      .withColumn("nsv", dotC(col("sv"), col("sv")))
     val seeds = e
       .filter(col("vec_id") % stride === 0 &&
         floor(col("vec_id") / lit(stride.toDouble)) < k)
@@ -537,13 +562,19 @@ object PipelineQueries {
         col("v"), ms)
       .select(col("cent_id"), col("m"),
         slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("scv"))
-    // scalar grouping keys + first() carry-through — see ivfCentroids for
-    // the array-grouping SortAggregate trap
+      .withColumn("nscv", dotC(col("scv"), col("scv")))
+    def l2n(na: Column, a: Column, b: Column, nb: Column): Column =
+      na - lit(2.0) * dotC(a, b) + nb
+    // narrow-row assignment (see ivfCentroids): score pairs inside the
+    // fused join stage, aggregate 28-byte rows, re-attach sv by key
     val assign0 = subs.join(broadcast(seeds), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        (-l2n(col("nsv"), col("sv"), col("scv"), col("nscv"))).as("nd"),
+        col("cent_id"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(max_by(col("cent_id"), struct(
-        (-l2sq(col("sv"), col("scv"))).as("nd"), (-col("cent_id")).as("nid"))).as("cell"),
-        first(col("sv")).as("sv"))
+      .agg(max_by(col("cent_id"), struct(col("nd"),
+        (-col("cent_id")).as("nid"))).as("cell"))
+      .join(subs.select(col("vec_id"), col("m"), col("sv")), Seq("vec_id", "m"))
     val cent = assign0
       .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("m"), col("cell"), col("pos"))
@@ -553,12 +584,21 @@ object PipelineQueries {
         (col("sq").cast("double") / col("cnt").cast("double") / lit(1000000.0)).as("c")).as("pc"))
       .groupBy(col("m"), col("cell"))
       .agg(transform(array_sort(collect_list(col("pc"))), p => p.getField("c")).as("ccv"))
-      .select(col("m"), col("cell").as("cent_id"), col("ccv"))
+      .select(col("m"), col("cell").as("cent_id"), col("ccv"),
+        dotC(col("ccv"), col("ccv")).as("nccv"))
+    // narrow-row: pick the winning cent_id per (vec, m), then fetch its
+    // ccv with one broadcast join — the winning 8-dim array no longer
+    // rides the aggregation buffer of every pair row
     subs.join(broadcast(cent), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        (-l2n(col("nsv"), col("sv"), col("ccv"), col("nccv"))).as("nd"),
+        col("cent_id"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(max_by(col("ccv"), struct(
-        (-l2sq(col("sv"), col("ccv"))).as("nd"), (-col("cent_id")).as("nid"))).as("w"))
-      .select(col("vec_id"), struct(col("m"), col("w")).as("mw"))
+      .agg(max_by(col("cent_id"), struct(col("nd"),
+        (-col("cent_id")).as("nid"))).as("cent_id"))
+      .join(broadcast(cent.select(col("m"), col("cent_id"), col("ccv"))),
+        Seq("m", "cent_id"))
+      .select(col("vec_id"), struct(col("m"), col("ccv").as("w")).as("mw"))
       .groupBy(col("vec_id"))
       .agg(flatten(transform(array_sort(collect_list(col("mw"))),
         p => p.getField("w"))).as("rhat"))
@@ -881,11 +921,16 @@ object PipelineQueries {
     // every ANN tier).
     "dd_semdedup" -> ((s, dir) => {
       val asg = kmeansAssign(s, dir).select(col("vec_id"), col("cluster"))
+      // per-vector norm computed once before the in-cluster pair join (the
+      // pqReconstruct norm trick): dot/(a.nv*b.nv) with nv = sqrt(dot(v,v))
+      // is cosC's exact IEEE tree, evaluated with 1 dot per pair instead of 3
       val av = asg.join(embed(s, dir), Seq("vec_id"))
+        .withColumn("nv", sqrt(dotC(col("v"), col("v"))))
       val dups = av.as("a").join(av.as("b"),
           col("a.cluster") === col("b.cluster") &&
             col("a.vec_id") < col("b.vec_id"))
-        .filter(cosC(col("a.v"), col("b.v")) >= SemDedupTau)
+        .filter(dotC(col("a.v"), col("b.v")) /
+          (col("a.nv") * col("b.nv")) >= SemDedupTau)
         .select(col("b.vec_id").as("vec_id")).distinct()
       asg.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cluster"),
