@@ -25,6 +25,28 @@ object PipelineQueries {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` derived from the
+    * documents table's size (guide §2.2: size shuffle partitions from the
+    * data, not a constant tuned to one box): ceil(bytes/32 MB), floor 1,
+    * env-tunable target (SPARK_GRAFT_SHUFFLE_TARGET_BYTES). Only for query
+    * bodies that EXECUTE work inside the scope (iterative localCheckpoint
+    * loops, counts, collects) — the conf is restored on exit, so the lazy
+    * tail of the returned plan runs under the session value as before.
+    * The SystemQueries twin covers the streaming/CDC family. */
+  private def withSizedShuffle[T](s: SparkSession, dir: String,
+      table: String = "documents")(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val target = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_TARGET_BYTES",
+      (32L * 1024 * 1024).toString).toLong
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/$table.parquet"))
+      catch { case _: Exception => target }
+    val n = math.max(1L, (bytes + target - 1) / target)
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** md5 hex of a string column (Spark needs an explicit binary cast). */
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
@@ -82,7 +104,7 @@ object PipelineQueries {
   /** Duplicate-cluster labels over the MinHash-LSH pairs: (doc_id,
     * cluster_rep, keep) for every doc appearing in a candidate pair —
     * min-label propagation to fixpoint (see the dd_dup_clusters entry). */
-  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = withSizedShuffle(s, dir) {
     val pairs = minhashPairs(s, dir).localCheckpoint()
     val edges = pairs.union(pairs.select(col("db"), col("da")))
       .toDF("u", "v").localCheckpoint()
@@ -115,7 +137,7 @@ object PipelineQueries {
     * rest of the run, since a lazily returned DataFrame has no unpersist
     * point — the checkpointed RDD is released by the ContextCleaner once
     * the result is garbage-collected. */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = withSizedShuffle(s, dir) {
     val sig = minhashSig(s, dir).localCheckpoint()
     val banded = sig.select(col("doc_id"),
       explode(array((0 until 4).map(k =>
@@ -142,7 +164,7 @@ object PipelineQueries {
     * are then CONFIRMED by full-signature agreement (integer count of
     * matching hashes out of 8; ≥4 ≈ estimated Jaccard ≥ 0.5) — a
     * candidate-sized join, never corpus-sized. */
-  private def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
+  private def incrementalLsh(s: SparkSession, dir: String): DataFrame = withSizedShuffle(s, dir) {
     val sig = minhashSig(s, dir).localCheckpoint()
     val isNew = col("doc_id") % 5 === 0
     def banded(df: DataFrame) = df.select(col("doc_id"),
@@ -475,7 +497,7 @@ object PipelineQueries {
     * `dd_kmeans_cluster` scaladoc in [[all]] for the exactness argument
     * and the 100-TB plan shape. Shared by `dd_kmeans_cluster` (direct
     * output) and `dd_semdedup` (cluster scoping). */
-  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = withSizedShuffle(s, dir, "embeddings") {
     val e = t(s, dir, "embeddings").select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
@@ -487,17 +509,17 @@ object PipelineQueries {
     val stride = math.max(1L, e.count() / KmeansK)
     def l2n(na: Column, a: Column, b: Column, nb: Column): Column =
       na - lit(2.0) * dotC(a, b) + nb
-    // narrow-row assignment — see ivfCentroids for the two measured traps
+    // scalar grouping key + first() carry-through (the narrow-row rejoin
+    // variant measured slightly WORSE here: K=8 makes the pair table only
+    // ~8·N rows, too small to amortize the extra per-key join)
     def assign(cent: DataFrame): DataFrame = {
       val c = cent.withColumn("ncv", dotC(col("cv"), col("cv")))
       e.join(broadcast(c))
-        .select(col("vec_id"),
-          (-l2n(col("nmv"), col("mv"), col("cv"), col("ncv"))).as("nd"),
-          col("cid"))
         .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("nd"),
-          (-col("cid")).as("nid"))).as("cell"))
-        .join(e.select(col("vec_id"), col("mv")), Seq("vec_id"))
+        .agg(max_by(col("cid"), struct(
+          (-l2n(col("nmv"), col("mv"), col("cv"), col("ncv"))).as("nd"),
+          (-col("cid")).as("nid"))).as("cell"),
+          first(col("mv")).as("mv"))
     }
     def update(assigned: DataFrame): DataFrame =
       assigned.select(col("cell"), posexplode(col("mv")).as(Seq("pos", "x")))
@@ -693,16 +715,23 @@ object PipelineQueries {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
     }),
 
-    "dd_ngram_jaccard" -> ((s, dir) => {
+    "dd_ngram_jaccard" -> ((s, dir) => withSizedShuffle(s, dir) {
       // Scale guard: a shingle present in k docs yields k^2 candidate rows
       // in the self-join, so "stop shingles" above a document-frequency cap
       // are dropped from the representation entirely (intersections AND
       // sizes — consistent Jaccard semantics). The hot set is tiny by
       // construction → broadcast anti-join, no extra shuffle of `sh`.
-      val sh = shingles(s, dir)
+      // localCheckpoint: the shingle relation feeds FOUR consumers (df
+      // count, sizes, both self-join sides); without it the explode +
+      // per-shingle md5 chain re-executes under each (measured as the
+      // query's dominant stages — exchange reuse does not cross the
+      // broadcast boundary here). ContextCleaner frees it like the
+      // minhashPairs checkpoint.
+      val sh = shingles(s, dir).localCheckpoint()
       val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") > ShingleDfCap).select(col("shingle"))
       val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .localCheckpoint()
       val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = kept.as("a")
         .join(kept.as("b"),
@@ -1360,7 +1389,7 @@ object PipelineQueries {
     // 60-bit values). One-sided error by construction: supersets
     // dd_decontaminate's exact hits (no false negatives — spec-pinned),
     // false-positive rate governed by m/n and measured in QueriesSpec.
-    "dd_bloom_decontaminate" -> ((s, dir) => {
+    "dd_bloom_decontaminate" -> ((s, dir) => withSizedShuffle(s, dir) {
       import s.implicits._
       val W = 4096 // 32-bit-packed words -> m = 131072 bits
       val M = W.toLong * 32
@@ -1540,7 +1569,7 @@ object PipelineQueries {
     // join co-locates within the pair. The ≤6-row query relation drives
     // everything via broadcast; ranking = tf sum, top 5 per query under a
     // total order (score desc, doc_id).
-    "ta_index_search" -> ((s, dir) => {
+    "ta_index_search" -> ((s, dir) => withSizedShuffle(s, dir) {
       val perDoc = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("term"), col("doc_id"))
@@ -1577,7 +1606,7 @@ object PipelineQueries {
     // round) are micro-unit-rounded — the ta_tfidf/ta_pmi trick. Per-term
     // scores become exact longs BEFORE the per-doc sum, so aggregation
     // order cannot matter. Top 5 per query under (score desc, doc_id).
-    "ta_bm25_search" -> ((s, dir) => {
+    "ta_bm25_search" -> ((s, dir) => withSizedShuffle(s, dir) {
       val docs = t(s, dir, "documents")
       val nDocs = docs.count()
       val totalToks = docs
@@ -1726,7 +1755,7 @@ object PipelineQueries {
     // key every round — a co-partitioned Pregel superstep) + one
     // partial-aggregated groupBy(dst); lineage truncated per iteration
     // (localCheckpoint) exactly like dd_dup_clusters' label propagation.
-    "wg_pagerank" -> ((s, dir) => {
+    "wg_pagerank" -> ((s, dir) => withSizedShuffle(s, dir) {
       val docs = t(s, dir, "documents").select(col("doc_id").as("id"))
       val nn = docs.agg(count(lit(1)).as("nn"))
       val edges1 = docs.crossJoin(broadcast(nn))
