@@ -54,7 +54,7 @@ object MainIngest {
         |  MainIngest tag     <tableDir> <name> [version]
         |  MainIngest tags    <tableDir>
         |  MainIngest rollback <tableDir> <version|tag>
-        |  MainIngest gc      <tableDir> [--delete]
+        |  MainIngest gc      <tableDir> [--delete] [--older-than-hours=N]
         |  MainIngest changes <tableDir> <fromVersion> <toVersion>
         |  MainIngest deltas  <tableDir> <fromVersion> <toVersion>
         |  MainIngest mview   <tableDir> <mvDir>
@@ -402,12 +402,18 @@ object MainIngest {
 
     // orphan-file GC (Iceberg remove_orphan_files analog): data files not
     // referenced by ANY snapshot — crashed batches, lost compaction races
-    case "gc" :: tableDir :: rest if rest.forall(_ == "--delete") =>
+    case "gc" :: tableDir :: rest if rest.forall(a =>
+        a == "--delete" || a.startsWith("--older-than-hours=")) =>
       val table = LakeTable.load(tableDir)
       val orphans = table.orphanFiles() ++ table.orphanManifests()
-      // abandoned .tmp-* spill dirs (age-guarded: a live ingest's tmp dir
-      // is minutes old — see LakeTable.staleTmpDirs)
-      val tmpDirs = table.staleTmpDirs()
+      // abandoned .tmp-* spill dirs, age-guarded (default 24 h; an
+      // operator who KNOWS no writer is live can pass a lower
+      // --older-than-hours — see LakeTable.staleTmpDirs)
+      val hours = rest.collectFirst {
+        case a if a.startsWith("--older-than-hours=") =>
+          a.stripPrefix("--older-than-hours=").toLong
+      }.getOrElse(24L)
+      val tmpDirs = table.staleTmpDirs(hours * 60L * 60 * 1000)
       if (orphans.isEmpty && tmpDirs.isEmpty) println("no orphan files")
       else if (rest.contains("--delete")) {
         orphans.foreach(p => java.nio.file.Files.deleteIfExists(p))

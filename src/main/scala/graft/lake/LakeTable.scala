@@ -1213,9 +1213,14 @@ final class LakeTable(val root: Path) {
     * subdirectories (`_temporary/attempt…/`) and never touches the root
     * dir's mtime, so a root-only guard would call a >1h-old dir stale
     * while a long-running live job is still writing into it. A tree that
-    * mutates mid-walk (entry vanishes) is by definition live and is kept.
-    * Swept by the gc CLI. */
-  def staleTmpDirs(olderThanMs: Long = 60L * 60 * 1000): Seq[Path] = {
+    * mutates mid-walk (entry vanishes) is by definition live and is kept —
+    * `Files.walk`'s iterator surfaces such races as
+    * `java.io.UncheckedIOException` (a RuntimeException), so BOTH
+    * exception shapes classify as live. Default age is 24 h (lake-engine
+    * practice: Iceberg's remove_orphan_files defaults to 3 days; a live
+    * writer queued behind a busy scheduler can legitimately go >1 h with
+    * no mtime update), operator-tunable via the gc CLI's --older-than-hours. */
+  def staleTmpDirs(olderThanMs: Long = 24L * 60 * 60 * 1000): Seq[Path] = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     listDirEntries(root)
       .filter(p => Files.isDirectory(p) &&
@@ -1228,7 +1233,9 @@ final class LakeTable(val root: Path) {
               .map(p => Files.getLastModifiedTime(p).toMillis).max
             finally st.close()
           newest < cutoff
-        } catch { case _: java.io.IOException => false } // mutating → live
+        } catch { // mutating → live
+          case _: java.io.IOException | _: java.io.UncheckedIOException => false
+        }
       }
   }
 }
@@ -1281,13 +1288,35 @@ object LakeTable {
 
   /** Recursive delete with the walk stream CLOSED; no-op when `p` is
     * absent (so a path that vanished between listing and deletion — e.g.
-    * a gc sweep racing a writer's own cleanup — is not an error). */
-  def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val st = Files.walk(p)
-      val all = try st.iterator().asScala.toVector finally st.close()
-      all.reverse.foreach(Files.deleteIfExists(_))
+    * a gc sweep racing a writer's own cleanup — is not an error). The
+    * same tolerance extends to races INSIDE the tree: an entry vanishing
+    * mid-walk surfaces as `UncheckedIOException` from the walk iterator,
+    * and concurrent creation makes the reverse-order `deleteIfExists`
+    * throw `DirectoryNotEmptyException` — either means a racer owns (part
+    * of) the tree, so this delete skips what it lost and returns instead
+    * of aborting the caller's whole sweep (MainIngest `gc --delete`
+    * deletes many dirs in one pass). Non-race I/O failures (permissions,
+    * read-only fs) still propagate. */
+  def deleteRecursively(p: Path): Unit = {
+    val all =
+      try {
+        if (!Files.exists(p)) return
+        val st = Files.walk(p)
+        try st.iterator().asScala.toVector finally st.close()
+      } catch {
+        // tree mutated under the walk → a live writer owns it; leave it
+        case _: java.io.UncheckedIOException => return
+        case _: java.nio.file.NoSuchFileException => return
+      }
+    all.reverse.foreach { q =>
+      try Files.deleteIfExists(q)
+      catch {
+        // a racer re-populated this dir after we deleted its (old)
+        // children — its contents are not ours to remove
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+      }
     }
+  }
 
   /** Bucket assignment — pure function of the key so it never needs to be
     * stored: `pmod(hash(url), numBuckets)` (north rule's salted url-hash

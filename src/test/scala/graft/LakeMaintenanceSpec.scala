@@ -39,8 +39,8 @@ class LakeMaintenanceSpec extends SparkTestBase {
     Files.createDirectories(dead.resolve(s"${LakeTable.BucketCol}=0"))
     Files.write(dead.resolve(s"${LakeTable.BucketCol}=0").resolve("part-0.parquet"),
       Array[Byte](1, 2, 3))
-    val old = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    val old = java.nio.file.attribute.FileTime.fromMillis( // past the 24 h default guard
+      System.currentTimeMillis() - 25L * 60 * 60 * 1000)
     Seq(dead, dead.resolve(s"${LakeTable.BucketCol}=0"),
       dead.resolve(s"${LakeTable.BucketCol}=0").resolve("part-0.parquet"))
       .foreach(Files.setLastModifiedTime(_, old))
