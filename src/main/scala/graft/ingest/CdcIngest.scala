@@ -885,12 +885,25 @@ object CdcIngest {
                 .withColumn(LakeTable.BucketCol, LakeTable.bucketExpr(numBuckets))
                 .persist(StorageLevel.MEMORY_AND_DISK)
               try {
-                val dataFiles = writeMerged(changed, newVersion)
-                val delFiles =
+                // The delete-file write is independent of the data-file
+                // write once `changed` is cached — submit it from a driver
+                // thread so its tasks back-fill the data write's tail
+                // (guide §2.6 "overlap independent jobs") instead of
+                // paying two sequential job barriers per trickle commit.
+                // The DV broadcast-size decision used the data files' row
+                // count, which would re-serialize the dependency: the
+                // batch's winner count from the already-collected stats
+                // is an upper bound on changed rows — a conservative
+                // stand-in for the same broadcast heuristic.
+                import scala.concurrent.{Await, Future}
+                import scala.concurrent.duration.Duration
+                import scala.concurrent.ExecutionContext.Implicits.global
+                val changedRowsHint = stats.map(_.getAs[Long]("winners")).sum
+                val delFut: Future[Seq[graft.lake.DeleteFileEntry]] = Future {
                   if (config.deleteVectors)
                     writeDeletionVectors(
                       spark, table, snap, changed, touched, numBuckets,
-                      newVersion, dataFiles.map(_.rows).sum, wapTag)
+                      newVersion, changedRowsHint, wapTag)
                   else {
                     val delTmp = table.root.resolve(
                       s".tmp-del-${java.util.UUID.randomUUID()}")
@@ -901,6 +914,9 @@ object CdcIngest {
                       .map(f => graft.lake.DeleteFileEntry(
                         f.path, f.bucket, f.rows, f.sizeBytes, newVersion))
                   }
+                }
+                val dataFiles = writeMerged(changed, newVersion)
+                val delFiles = Await.result(delFut, Duration.Inf)
                 (dataFiles, snap.files, snap.deleteFiles, delFiles,
                   if (config.deleteVectors) "mor-dv" else "mor")
               } finally changed.unpersist()

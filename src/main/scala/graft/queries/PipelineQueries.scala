@@ -113,14 +113,26 @@ object PipelineQueries {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
+      // One job per round instead of two: the new label is
+      // least(own, min incoming) — equivalent to the former
+      // union+groupBy+min because every propagation target id is already
+      // a label id (edges are symmetric, labels seeded from all of them)
+      // — and the convergence count rides the SAME materialization as an
+      // observe() metric instead of a second join+count job.
       val prop = edges.join(labels, edges("u") === labels("id"))
-        .select(col("v").as("id"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .select(col("v").as("id"), col("lbl").as("plbl"))
+        .groupBy(col("id")).agg(min(col("plbl")).as("plbl"))
+      val obs = org.apache.spark.sql.Observation(s"dupc-$rounds")
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("olbl"))
+        .observe(obs, sum(when(col("lbl") =!= col("olbl"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("lbl"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      // sum() over an empty label set observes null — no pairs, converged
+      changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next
       rounds += 1
     }
@@ -573,10 +585,19 @@ object PipelineQueries {
     // work (the ivfCentroids nv/ncv trick applied to the PQ subspaces).
     // The substituted form ((nsv - 2·dot) + nscv) is the IDENTICAL IEEE
     // expression tree l2sq builds — same doubles, oracle hash untouched.
+    // localCheckpoint: `subs` feeds THREE consumers (codebook training,
+    // the sv re-attach, the final code assignment) and `cent` two (code
+    // assignment + ccv fetch) with DIFFERENT projections — broadcast
+    // exchange reuse needs byte-identical subtrees, so without the
+    // checkpoints the whole slice+train chain re-executed per consumer
+    // (the before-plan shows 10 parquet scans of `embeddings` and ZERO
+    // ReusedExchange for ann_pq_topk). Same doubles — hash parity
+    // untouched; ContextCleaner frees the blocks like minhashPairs'.
     val subs = e.select(col("vec_id"), col("v"), ms)
       .select(col("vec_id"), col("m"),
         slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
       .withColumn("nsv", dotC(col("sv"), col("sv")))
+      .localCheckpoint()
     val seeds = e
       .filter(col("vec_id") % stride === 0 &&
         floor(col("vec_id") / lit(stride.toDouble)) < k)
@@ -608,6 +629,7 @@ object PipelineQueries {
       .agg(transform(array_sort(collect_list(col("pc"))), p => p.getField("c")).as("ccv"))
       .select(col("m"), col("cell").as("cent_id"), col("ccv"),
         dotC(col("ccv"), col("ccv")).as("nccv"))
+      .localCheckpoint() // see `subs` — two differently-projected consumers
     // narrow-row: pick the winning cent_id per (vec, m), then fetch its
     // ccv with one broadcast join — the winning 8-dim array no longer
     // rides the aggregation buffer of every pair row
@@ -1769,14 +1791,18 @@ object PipelineQueries {
       val nD = docs.count().toDouble
       val base = math.round(0.15 * 1e6 / nD)
       var pr = docs.select(col("id"), lit(math.round(1e6 / nD)).as("pr"))
-      for (_ <- 1 to 10) {
+      for (it <- 1 to 10) {
         val contrib = edges.join(pr, edges("src") === pr("id"))
           .select(col("dst").as("id"),
             round(lit(0.85) * col("pr") / col("deg")).cast("long").as("c"))
           .groupBy("id").agg(sum(col("c")).as("c"))
-        pr = docs.join(contrib, Seq("id"), "left_outer")
+        val next = docs.join(contrib, Seq("id"), "left_outer")
           .select(col("id"), (lit(base) + coalesce(col("c"), lit(0L))).as("pr"))
-          .localCheckpoint()
+        // truncate lineage every SECOND superstep: a 2-join-deep plan
+        // plans/compiles fine, and halving the materialization barriers
+        // halves the per-iteration job overhead (identical integer ranks
+        // either way — checkpoint placement is physical only)
+        pr = if (it % 2 == 0) next.localCheckpoint() else next
       }
       pr.join(deg, pr("id") === deg("src"), "left_outer")
         .select(col("id").as("doc_id"), col("pr").as("pr_micro"),
