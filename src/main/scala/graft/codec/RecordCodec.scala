@@ -151,6 +151,9 @@ object RecordCodec {
       ((b(p + 4) & 0xffL) << 24) | ((b(p + 5) & 0xffL) << 16) |
       ((b(p + 6) & 0xffL) << 8) | (b(p + 7) & 0xffL)
 
+  /** schema version at a record's absolute offset (byte 0 of the frame). */
+  def svAt(segment: Array[Byte], recOff: Int): Int = segment(recOff) & 0xff
+
   /** seq field at absolute position (record offset + 2) — big-endian. */
   def seqAt(segment: Array[Byte], recOff: Int): Long = longAt(segment, recOff + 2)
 

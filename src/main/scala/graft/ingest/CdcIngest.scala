@@ -226,9 +226,11 @@ object CdcIngest {
   }
 
   /** Per-url key aggregate from the map-side combiner: 128-bit url hash,
-    * LWW winner (ts, seq), events folded, min/max seq seen. */
+    * LWW winner (ts, seq), events folded, min/max seq seen, max schema
+    * version seen (rides the key rows so the batch's evolution decision
+    * needs NO driver-side segment-header reads — see applyBatch). */
   final case class KeyAgg(h1: Long, h2: Long, wts: Long, wseq: Long,
-      n: Long, mn: Long, mx: Long)
+      n: Long, mn: Long, mx: Long, sv: Int)
 
   /** Open-addressing (h1,h2)→(wts,wseq,n,mn,mx) map over parallel primitive
     * arrays — the map-side combiner of the key pass. Zero allocation per
@@ -244,14 +246,15 @@ object CdcIngest {
     private var ns = new Array[Long](cap) // 0 = empty slot
     private var mns = new Array[Long](cap)
     private var mxs = new Array[Long](cap)
+    private var svs = new Array[Int](cap)
     private var count = 0
 
-    def add(h1: Long, h2: Long, ts: Long, seq: Long): Unit = {
+    def add(h1: Long, h2: Long, ts: Long, seq: Long, sv: Int): Unit = {
       var i = (java.lang.Long.hashCode(h1) * 0x9e3779b9) & mask
       while (ns(i) != 0 && (h1s(i) != h1 || h2s(i) != h2)) i = (i + 1) & mask
       if (ns(i) == 0) {
         h1s(i) = h1; h2s(i) = h2; wts(i) = ts; wseq(i) = seq
-        ns(i) = 1L; mns(i) = seq; mxs(i) = seq
+        ns(i) = 1L; mns(i) = seq; mxs(i) = seq; svs(i) = sv
         count += 1
         if (count * 10L >= cap * 7L) grow()
       } else {
@@ -259,22 +262,25 @@ object CdcIngest {
         if (ts > wts(i) || (ts == wts(i) && seq > wseq(i))) { wts(i) = ts; wseq(i) = seq }
         if (seq < mns(i)) mns(i) = seq
         if (seq > mxs(i)) mxs(i) = seq
+        if (sv > svs(i)) svs(i) = sv
       }
     }
 
     private def grow(): Unit = {
-      val (oh1, oh2, ots, oseq, ons, omn, omx) = (h1s, h2s, wts, wseq, ns, mns, mxs)
+      val (oh1, oh2, ots, oseq, ons, omn, omx, osv) =
+        (h1s, h2s, wts, wseq, ns, mns, mxs, svs)
       cap *= 2; mask = cap - 1
       h1s = new Array[Long](cap); h2s = new Array[Long](cap)
       wts = new Array[Long](cap); wseq = new Array[Long](cap)
       ns = new Array[Long](cap); mns = new Array[Long](cap); mxs = new Array[Long](cap)
+      svs = new Array[Int](cap)
       var j = 0
       while (j < ons.length) {
         if (ons(j) != 0) {
           var i = (java.lang.Long.hashCode(oh1(j)) * 0x9e3779b9) & mask
           while (ns(i) != 0) i = (i + 1) & mask
           h1s(i) = oh1(j); h2s(i) = oh2(j); wts(i) = ots(j); wseq(i) = oseq(j)
-          ns(i) = ons(j); mns(i) = omn(j); mxs(i) = omx(j)
+          ns(i) = ons(j); mns(i) = omn(j); mxs(i) = omx(j); svs(i) = osv(j)
         }
         j += 1
       }
@@ -282,7 +288,7 @@ object CdcIngest {
 
     def result: Iterator[KeyAgg] = (0 until cap).iterator
       .filter(ns(_) != 0)
-      .map(i => KeyAgg(h1s(i), h2s(i), wts(i), wseq(i), ns(i), mns(i), mxs(i)))
+      .map(i => KeyAgg(h1s(i), h2s(i), wts(i), wseq(i), ns(i), mns(i), mxs(i), svs(i)))
   }
 
   /** Key pass with map-side combining: one task folds its segments into a
@@ -326,7 +332,8 @@ object CdcIngest {
               RecordCodec.urlHashAt(bytes, off, 42L),
               RecordCodec.urlHashAt(bytes, off, 0x9747b28cL),
               RecordCodec.tsMicrosAt(bytes, off),
-              RecordCodec.seqAt(bytes, off))
+              RecordCodec.seqAt(bytes, off),
+              RecordCodec.svAt(bytes, off))
           }
         }
         combiner.result
@@ -409,13 +416,15 @@ object CdcIngest {
     * aggregation is never recomputed. Segment bytes are read once per pass
     * at most: the key pass populates the executor-local [[SegmentCache]]
     * and the payload pass consumes it.
-    * Returns (winners df, Some((events, minSeq, maxSeq))). */
+    * Returns (winners df, Some((events, minSeq, maxSeq)), max schema
+    * version seen in the batch — from the key rows, so the caller's
+    * evolution decision needs no driver-side segment reads). */
   def dedupViaKeyBroadcast(
       spark: SparkSession,
       segmentPaths: Seq[String],
       urlPartitions: Int,
       maxCollectedKeys: Int = 4000000,
-      segmentsPerKeyTask: Int = 25): (DataFrame, Option[(Long, Long, Long)]) = {
+      segmentsPerKeyTask: Int = 25): (DataFrame, Option[(Long, Long, Long)], Int) = {
     import spark.implicits._
     val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
     var tM = System.nanoTime()
@@ -427,11 +436,49 @@ object CdcIngest {
     val winnerKeys = keyStats(spark, segmentPaths, segmentsPerKeyTask)
       .groupBy(col("h1"), col("h2"))
       .agg(max_by(struct(col("wts"), col("wseq")), struct(col("wts"), col("wseq"))).as("_w"),
-        sum(col("n")).as("_n"), min(col("mn")).as("_mn"), max(col("mx")).as("_mx"))
-      .select(col("_w.wseq").as("wseq"), col("_n"), col("_mn"), col("_mx"))
+        sum(col("n")).as("_n"), min(col("mn")).as("_mn"), max(col("mx")).as("_mx"),
+        max(col("sv")).as("_sv"))
+      .select(col("_w.wseq").as("wseq"), col("_n"), col("_mn"), col("_mx"), col("_sv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nWinners = winnerKeys.count() // exact, from the key-pass statistics
-    mk("keyjob+count")
+    // ONE fused job materializes the cache AND collects the per-partition
+    // packed winner seqs + subtotals: the former count() round-trip (a
+    // second full pass over the cached aggregation plus a job barrier —
+    // ~1 s of per-batch driver-serial wall at the 16M-event bench feed)
+    // is now the sum of the packed sizes. Driver memory stays bounded
+    // WITHOUT knowing the global count up front: each partition packs at
+    // most ~2x its uniform share of maxCollectedKeys (url-hash
+    // partitioning is uniform by construction) and emits a null sentinel
+    // beyond that, which routes to the relational fallback below exactly
+    // as an over-cap count did.
+    val nParts = math.max(1, winnerKeys.rdd.getNumPartitions)
+    val capPerPart = math.max(65536L, 2L * maxCollectedKeys / nParts)
+    val packed = winnerKeys.as[(Long, Long, Long, Long, Int)]
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        var over = false
+        var n = 0L; var ev = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue; var sv = 0
+        it.foreach { case (wseq, en, rmn, rmx, rsv) =>
+          n += 1
+          if (!over && n > capPerPart) { over = true; buf.clear() }
+          if (!over) buf += wseq
+          ev += en
+          if (rmn < mn) mn = rmn
+          if (rmx > mx) mx = rmx
+          if (rsv > sv) sv = rsv
+        }
+        Iterator.single((if (over) null else buf.result(), n, ev, mn, mx, sv))
+      }.collect()
+    val nWinners = packed.map(_._2).sum
+    val overCap = nWinners > maxCollectedKeys || packed.exists(_._1 == null)
+    var ev = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var maxSv = 0
+    packed.foreach { case (_, _, pev, pmn, pmx, psv) =>
+      ev += pev
+      if (pmn < mn) mn = pmn
+      if (pmx > mx) mx = pmx
+      if (psv > maxSv) maxSv = psv
+    }
+    mk("keyjob+collect")
 
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
@@ -476,45 +523,24 @@ object CdcIngest {
         .select(col("url") +: payloadCols.map(c => col(s"_w.$c").as(c)) :+ col("_n"): _*)
     }
 
-    if (nWinners <= maxCollectedKeys) {
-      // collect ONE packed long[] of winner seqs per partition plus that
-      // partition's (events, minSeq, maxSeq) totals — 8 B/key transferred
-      // (vs ~100+ B for boxed tuple rows: at 4M keys the driver transient
-      // drops from ~400 MB of object churn to 32 MB of flat arrays), the
-      // global totals folded from #partitions subtotals instead of being
-      // carried per key, all in a single job over the cached aggregation.
-      val packed = winnerKeys.as[(Long, Long, Long, Long)]
-        .mapPartitions { it =>
-          val buf = new scala.collection.mutable.ArrayBuilder.ofLong
-          var ev = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
-          it.foreach { case (wseq, n, rmn, rmx) =>
-            buf += wseq; ev += n
-            if (rmn < mn) mn = rmn
-            if (rmx > mx) mx = rmx
-          }
-          Iterator.single((buf.result(), ev, mn, mx))
-        }.collect()
+    if (!overCap) {
+      // packed long[]s: 8 B/key transferred (vs ~100+ B for boxed tuple
+      // rows: at 4M keys the driver transient drops from ~400 MB of
+      // object churn to 32 MB of flat arrays), global totals folded from
+      // #partitions subtotals — all already in hand from the fused job.
       winnerKeys.unpersist()
-      mk("collect")
-      var ev = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
-      packed.foreach { case (_, pev, pmn, pmx) =>
-        ev += pev
-        if (pmn < mn) mn = pmn
-        if (pmx > mx) mx = pmx
-      }
-      val filter = seqFilterOf(packed.map(_._1).toSeq, nWinners, mn, mx)
+      val filter = seqFilterOf(
+        packed.iterator.map(_._1).filter(_ != null).toSeq, nWinners, mn, mx)
       val setBc = spark.sparkContext.broadcast(filter)
       val winners = collapse(decodeWinners(setBc))
       mk("plan-winners")
-      (winners, Some((ev, mn, mx)))
+      (winners, Some((ev, mn, mx)), maxSv)
     } else {
       // huge-batch fallback: relational join of the raw events against the
       // persisted winner-seq aggregation — bounded driver memory, key
       // aggregation reused (stays cached until LRU eviction; at ~32B/row
-      // that is the price of not recomputing the key pass)
-      val totals = winnerKeys
-        .agg(sum(col("_n")), min(col("_mn")), max(col("_mx"))).head()
-      mk("totals")
+      // that is the price of not recomputing the key pass). Totals came
+      // from the fused job's subtotals — no extra aggregation job.
       val raw = decodeRaw(spark, segmentPaths)
       val winnersRaw = raw.join(winnerKeys.select(col("wseq")),
         col("seq") === col("wseq"))
@@ -528,7 +554,7 @@ object CdcIngest {
         }.toDF()
       val winners = collapse(decoded)
       mk("plan-winners")
-      (winners, Some((totals.getLong(0), totals.getLong(1), totals.getLong(2))))
+      (winners, Some((ev, mn, mx)), maxSv)
     }
   }
 
@@ -717,38 +743,39 @@ object CdcIngest {
     val numBuckets = snap.numBuckets
     val hconf = spark.sessionState.newHadoopConf()
 
-    // Driver-side segment header scan (a few bytes per segment): yields the
-    // schema-evolution decision with NO Spark job; format-1 segments have
-    // no hint → fall back to the pruned path, which derives it from data.
-    val hints = {
+    // Status-only driver size scan: the schema-evolution decision now
+    // rides the key pass itself (max schema version folded into the key
+    // rows — see KeyAgg), so the former per-segment header READ — ~800
+    // driver-serial file opens per bulk batch at the 16M-event bench
+    // feed — reduces to metadata-only status calls for the size test.
+    val batchBytes = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      // BOUNDED fan-out (64 concurrent opens): an unbounded Future.sequence
-      // over the whole batch would open every segment at once from the
-      // driver — harmless at hundreds of segments, a file-handle/memory
-      // risk on a 100k-segment bulk backfill. Each hint is a ~ms header
-      // read, so per-group barriers cost nothing measurable.
+      // BOUNDED fan-out (64 concurrent calls): an unbounded
+      // Future.sequence over a 100k-segment backfill would be a
+      // file-handle/memory risk; per-group barriers cost nothing at ~ms
+      // per status call.
       segments.iterator.grouped(64).flatMap { g =>
         Await.result(
-          Future.sequence(g.map { case (_, p) => Future(segmentHint(p, hconf)) }),
+          Future.sequence(g.map { case (_, p) => Future {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(hconf).getFileStatus(hp).getLen
+          }}),
           Duration.Inf)
-      }.toSeq
+      }.sum
     }
-    val batchBytes = hints.map(_._2).sum
-    val hintSv: Option[Int] =
-      if (hints.forall(_._1.nonEmpty)) Some(hints.flatMap(_._1).max) else None
 
     // Adaptive merge strategy: a bulk batch (comparable in size to the
     // table) touches ~every bucket — the pre-pass to find touched buckets
     // costs more than it saves, so merge against the full table in ONE job
     // with observe() stats. A trickle batch keeps the pruned two-job path.
-    mark("segment-hints")
+    mark("segment-sizes")
     val tableBytes = snap.files.map(_.sizeBytes).sum
     // merge-on-read only makes sense against an existing base: the first
     // load into an empty table is a plain full write either way
     val mor = config.mergeOnRead && snap.files.nonEmpty
-    val bulk = !mor && hintSv.nonEmpty &&
+    val bulk = !mor &&
       (snap.files.isEmpty || tableBytes == 0L || batchBytes * 4L >= tableBytes)
 
     def evolvedSchema(maxSv: Int): StructType =
@@ -810,15 +837,17 @@ object CdcIngest {
     val (newSchema, newFiles, carried, carriedDels, newDels, lineageRows, statsMap) =
       if (bulk) {
         // ---- bulk path: single job, full-table merge, observe() stats ----
-        val schema = evolvedSchema(hintSv.get)
-        val dataCols = schema.fieldNames.toSeq
         val obs = org.apache.spark.sql.Observation(s"ingest-$batchId")
         // no salt here: keyStats' map-side combiner absorbs hot keys
         // before the shuffle, so the bulk key pass needs none (the salted
         // two-phase form lives in dedupRawAndDecode for the pruned path)
-        val (winnersDf, keyTotals) = dedupViaKeyBroadcast(
+        val (winnersDf, keyTotals, maxSv) = dedupViaKeyBroadcast(
           spark, segments.map(_._2), numBuckets,
           segmentsPerKeyTask = config.segmentsPerKeyTask)
+        // evolution decision from the key pass's own sv statistics — the
+        // eager key job has already run by this point
+        val schema = evolvedSchema(maxSv)
+        val dataCols = schema.fieldNames.toSeq
         val src = alignToRenames(winnersDf)
           .observe(obs,
             count(lit(1)).as("winners"),
@@ -1219,20 +1248,6 @@ object CdcIngest {
           "rebucket lost the commit race; retry in a quiet window " +
             "(no partial rebase is possible across bucket layouts)")
     }
-  }
-
-  /** Driver-side header peek: (schema-version hint, file size). */
-  private def segmentHint(
-      path: String, conf: org.apache.hadoop.conf.Configuration): (Option[Int], Long) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val size = fs.getFileStatus(p).getLen
-    val in = fs.open(p)
-    try {
-      val header = new Array[Byte](RecordCodec.SegmentHeaderLen)
-      in.readFully(0, header)
-      (RecordCodec.segmentSchemaHint(header), size)
-    } finally in.close()
   }
 
   /** MERGE INTO semantics over a full-outer join on the key: source row wins

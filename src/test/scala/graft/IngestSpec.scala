@@ -219,10 +219,12 @@ class IngestSpec extends SparkTestBase {
     val spec = FeedSpec(seed = 71L, numEvents = 3000, numUrls = 500,
       eventsPerSegment = 600, evolveAtEvent = 1500, duplicateRatio = 0.1)
     val paths = graft.feed.FeedGen.writeSegments(spec, tmpDir("ddfb")).map(_.toString)
-    val (a, at) = CdcIngest.dedupViaKeyBroadcast(spark, paths, 8)
+    val (a, at, asv) = CdcIngest.dedupViaKeyBroadcast(spark, paths, 8)
     // cap of 1 forces the relational-join fallback; results must be equal
-    val (b, bt) = CdcIngest.dedupViaKeyBroadcast(spark, paths, 8,
+    val (b, bt, bsv) = CdcIngest.dedupViaKeyBroadcast(spark, paths, 8,
       maxCollectedKeys = 1)
+    assert(asv == bsv && asv == 2,
+      s"key-pass schema-version stat: broadcast=$asv fallback=$bsv (feed evolves to v2)")
     val ca = a.drop("_n"); val cb = b.drop("_n")
     assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,
       "fallback winners differ from broadcast winners")
