@@ -20,8 +20,10 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // idempotent: every query funnels through here, and the ANN/embedding
-    // family needs the native dot_product expression resolvable
+    // family needs the native dot_product / nearest-centroid expressions
+    // resolvable
     graft.functions.DotProductExpr.register(s)
+    graft.functions.NearestCentroidExpr.register(s)
     s.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -378,6 +380,44 @@ object PipelineQueries {
     (cells, math.max(1L, cells / probeDiv), math.max(1L, n / cells))
   }
 
+  /** A collected (cent_id, cv, ncv) codebook — bounded model state
+    * (cells ∝ √N for IVF, K ≤ 256 per PQ subspace), the same
+    * broadcast-bounded-model class as the kmeans centroids. The doubles
+    * are ferried bit-exact from the relational training chain; the driver
+    * does no arithmetic on them. Sorted by cent_id for determinism only —
+    * the argmax scans every entry. */
+  private type CentBook = IndexedSeq[(Int, IndexedSeq[Double], Double)]
+
+  private def collectCent(df: DataFrame): CentBook =
+    df.select(col("cent_id"), col("cv"), col("ncv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
+      .sortBy(_._1).toIndexedSeq
+
+  /** The collected codebook as a LocalRelation (cent_id, cv, ncv) — feeds
+    * the still-relational query-side probe [[ivfQCells]] without
+    * re-running the training chain. */
+  private def centDf(s: SparkSession, cb: CentBook): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false),
+      org.apache.spark.sql.types.StructField("ncv",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rows = cb.map(c => org.apache.spark.sql.Row(c._1, c._2, c._3))
+    s.createDataFrame(new java.util.ArrayList(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Fused per-row cosine argmax over the literal codebook — replaces the
+    * O(N·cells) pair join + max_by aggregation (same IEEE scores, same
+    * tie/NaN semantics; see [[graft.functions.NearestCentroidCosExpr]]). */
+  private def nearestCosCol(v: Column, nv: Column, cb: CentBook): Column =
+    graft.functions.NearestCentroidExpr.nearestCos(v, nv,
+      typedLit(cb.map(_._1)), typedLit(cb.map(_._2)), typedLit(cb.map(_._3)))
+
   /** One deterministic Lloyd iteration in FIXED-POINT arithmetic: cell
     * means are computed as integer micro-unit sums (∑⌊x·10⁶+0.5⌋, an
     * order-independent reduction) divided as exact doubles — float-sum
@@ -390,24 +430,20 @@ object PipelineQueries {
     * 21.9 s → the norms are the same IEEE value computed once per vector,
     * so oracle hash parity is untouched). */
   private def ivfCentroids(e: DataFrame, seeds: DataFrame): DataFrame = {
-    // Narrow-row assignment (two measured traps fixed here):
-    //  1. group by the SCALAR key only — an array in the grouping key
-    //     forces SortAggregate, a full sort of the O(N·cells) pair table
-    //     by 64-double array comparisons;
-    //  2. project each pair to (vec_id, cent_id, c) BEFORE the aggregate —
-    //     carrying the vector through the agg (first(v)) materialized
-    //     ~1 KB per pair row at the agg boundary; the narrow form computes
-    //     the cosine inside the fused join stage, aggregates 24-byte rows,
-    //     and re-attaches `v` with ONE per-key join afterwards.
-    // Same argmax, same tie-break, same doubles — oracle hash untouched.
-    val assigned0 = e.join(broadcast(seeds))
-      .select(col("vec_id"),
-        (dotC(col("v"), col("cv")) / (col("nv") * col("ncv"))).as("c"),
-        col("cent_id"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(col("c"),
-        (-col("cent_id")).as("nid"))).as("cell"))
-      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+    // Round-6 step 2: the assignment argmax no longer builds the
+    // O(N·cells) candidate-pair table at all. The seed codebook is
+    // bounded model state (cells ∝ √N) — it is collected once and rides
+    // into [[graft.functions.NearestCentroidCosExpr]] as literals, so the
+    // whole assignment is ONE generated loop per row inside whole-stage
+    // codegen: no broadcast pair join, no per-pair row materialization,
+    // no max_by hash aggregation, no per-key re-attach join. The score is
+    // the identical IEEE tree (`dot/(nv·ncv)`, left-fold dot) and the
+    // winner the identical max_by(struct(c, -cent_id)) semantics — same
+    // doubles, oracle hash untouched (NearestCentroidSpec pins equality
+    // against the former relational form, tie and NaN cases included).
+    val assigned0 = e.select(
+      nearestCosCol(col("v"), col("nv"), collectCent(seeds)).as("cell"),
+      col("v"))
     assigned0.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long")).as("sq"),
@@ -430,18 +466,12 @@ object PipelineQueries {
     .select(floor(col("vec_id") / lit(stride.toDouble)).cast("int").as("cent_id"),
       col("v").as("cv"), col("nv").as("ncv"))
 
-  /** (vec_id, v, nv, cell): every vector assigned to its nearest refined
-    * centroid (cosine, tie → lowest cent_id). Narrow-row assignment — see
-    * [[ivfCentroids]] for the two measured traps this shape avoids. */
-  private def ivfAssigned(e: DataFrame, cent: DataFrame): DataFrame =
-    e.join(broadcast(cent))
-      .select(col("vec_id"),
-        (dotC(col("v"), col("cv")) / (col("nv") * col("ncv"))).as("c"),
-        col("cent_id"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(col("c"),
-        (-col("cent_id")).as("nid"))).as("cell"))
-      .join(e, Seq("vec_id"))
+  /** (…e columns…, cell): every vector assigned to its nearest refined
+    * centroid (cosine, tie → lowest cent_id) — one generated argmax per
+    * row over the collected codebook (see [[ivfCentroids]]); the former
+    * pair-join + max_by + re-attach shape is gone. */
+  private def ivfAssigned(e: DataFrame, cb: CentBook): DataFrame =
+    e.withColumn("cell", nearestCosCol(col("v"), col("nv"), cb))
 
   /** (query_id, qv, nqv, cell): each query's nprobe nearest cells. */
   private def ivfQCells(e: DataFrame, cent: DataFrame, nprobe: Long): DataFrame = {
@@ -462,12 +492,13 @@ object PipelineQueries {
     val e = embed(s, dir)
       .withColumn("nv", sqrt(dotC(col("v"), col("v"))))
     val (cells, nprobe, stride) = ivfParams(e.count(), probeDiv)
-    // no localCheckpoint here: Spark's exchange reuse already computes the
-    // centroid training chain once (ReusedExchange in the plan — verified
-    // in plans/r06); an eager checkpoint was measured ~1s SLOWER (it adds
-    // a materialization barrier and blocks subtree reuse around it)
-    val cent = ivfCentroids(e, ivfSeeds(e, cells, stride))
-    broadcast(ivfQCells(e, cent, nprobe)).join(ivfAssigned(e, cent), Seq("cell"))
+    // the trained codebook is collected ONCE (bounded: cells ∝ √N) and
+    // serves both consumers — the query-side probe as a LocalRelation and
+    // the data-side assignment as expression literals; the training chain
+    // executes exactly once (the collect job), where the former plan
+    // relied on exchange reuse across a far larger join tree
+    val cb = collectCent(ivfCentroids(e, ivfSeeds(e, cells, stride)))
+    broadcast(ivfQCells(e, centDf(s, cb), nprobe)).join(ivfAssigned(e, cb), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("nqv"),
         col("vec_id").as("neighbor_id"), col("v"), col("nv"))
@@ -515,7 +546,7 @@ object PipelineQueries {
         x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
           .cast("double")).as("mv"))
       .repartition(s.sparkContext.defaultParallelism) // single-file scan → parallel pair work (see embed)
-      // pair-invariant norm, once per vector (see pqReconstruct): the
+      // pair-invariant norm, once per vector (see pqWithRhat): the
       // substituted ((nmv - 2·dot) + ncv) is l2sq's exact IEEE tree
       .withColumn("nmv", dotC(col("mv"), col("mv")))
     val stride = math.max(1L, e.count() / KmeansK)
@@ -576,28 +607,23 @@ object PipelineQueries {
     * M·[[PqSub]] doubles of derived state per vector (8 B/vec as packed
     * codes in a real deployment), the ADC pass is a broadcast-queries
     * map-side scan with no shuffle, and only the C re-rank candidates
-    * ever touch full-precision vectors. */
-  private def pqReconstruct(e: DataFrame, k: Int, stride: Long): DataFrame = {
+    * ever touch full-precision vectors. Returns `e` with the `rhat`
+    * column appended (a pure projection — no self-join on vec_id). */
+  private def pqWithRhat(e: DataFrame, k: Int, stride: Long): DataFrame = {
     val ms = explode(sequence(lit(0), lit(PqM - 1))).as("m")
-    // Pair-invariant norms are computed ONCE per side before the O(N·K)
-    // assignment joins: l2sq's dot(a,a)/dot(b,b) terms do not depend on
-    // the pair, so evaluating them per pair tripled the hot loop's array
-    // work (the ivfCentroids nv/ncv trick applied to the PQ subspaces).
-    // The substituted form ((nsv - 2·dot) + nscv) is the IDENTICAL IEEE
-    // expression tree l2sq builds — same doubles, oracle hash untouched.
-    // localCheckpoint: `subs` feeds THREE consumers (codebook training,
-    // the sv re-attach, the final code assignment) and `cent` two (code
-    // assignment + ccv fetch) with DIFFERENT projections — broadcast
-    // exchange reuse needs byte-identical subtrees, so without the
-    // checkpoints the whole slice+train chain re-executed per consumer
-    // (the before-plan shows 10 parquet scans of `embeddings` and ZERO
-    // ReusedExchange for ann_pq_topk). Same doubles — hash parity
-    // untouched; ContextCleaner frees the blocks like minhashPairs'.
-    val subs = e.select(col("vec_id"), col("v"), ms)
-      .select(col("vec_id"), col("m"),
-        slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
-      .withColumn("nsv", dotC(col("sv"), col("sv")))
-      .localCheckpoint()
+    // Round-6 step 2 (the ivfCentroids treatment applied to PQ): both
+    // O(N·8·K) assignment pair tables are gone. The seed and trained
+    // codebooks are bounded model state (K ≤ 256 per subspace); each is
+    // collected once and rides into the generated per-row argmin
+    // ([[graft.functions.PqCodesExpr]] / [[PqReconstructExpr]]) as
+    // literals — the subspace slice, its nsv fold, the
+    // ((nsv − 2·dot) + nscv) score and the max_by(struct(nd, -id))
+    // winner are the identical IEEE sequences the former relational
+    // chain evaluated (NearestCentroidSpec pins equality). This also
+    // retires the two localCheckpoints the old shape needed to stop its
+    // multi-consumer subtrees re-executing (10 parquet scans in the
+    // round-5 plan): the training chain now executes exactly once (its
+    // collect), and rhat is a pure projection column on `e`.
     val seeds = e
       .filter(col("vec_id") % stride === 0 &&
         floor(col("vec_id") / lit(stride.toDouble)) < k)
@@ -606,20 +632,19 @@ object PipelineQueries {
       .select(col("cent_id"), col("m"),
         slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("scv"))
       .withColumn("nscv", dotC(col("scv"), col("scv")))
-    def l2n(na: Column, a: Column, b: Column, nb: Column): Column =
-      na - lit(2.0) * dotC(a, b) + nb
-    // narrow-row assignment (see ivfCentroids): score pairs inside the
-    // fused join stage, aggregate 28-byte rows, re-attach sv by key
-    val assign0 = subs.join(broadcast(seeds), Seq("m"))
-      .select(col("vec_id"), col("m"),
-        (-l2n(col("nsv"), col("sv"), col("scv"), col("nscv"))).as("nd"),
-        col("cent_id"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(max_by(col("cent_id"), struct(col("nd"),
-        (-col("cent_id")).as("nid"))).as("cell"))
-      .join(subs.select(col("vec_id"), col("m"), col("sv")), Seq("vec_id", "m"))
-    val cent = assign0
-      .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+    val sb = pqCollect(seeds.select(col("m"), col("cent_id"),
+      col("scv").as("ccv"), col("nscv").as("nccv")))
+    // training codes from the SEED codebook — one generated argmin per
+    // row, then the SAME fixed-point micro-unit mean aggregation; the x
+    // values are v[m·PqSub + pos], exactly the sv elements the exploded
+    // form aggregated
+    val codes = e.select(pqCodesCol(col("v"), sb).as("cells"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      .select((col("i") / lit(PqSub)).cast("int").as("m"),
+        (col("i") % lit(PqSub)).as("pos"), col("x"), col("cells"))
+      .select(col("m"), element_at(col("cells"), col("m") + 1).as("cell"),
+        col("pos"), col("x"))
+    val cent = codes
       .groupBy(col("m"), col("cell"), col("pos"))
       .agg(sum(floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long")).as("sq"),
         count(lit(1)).as("cnt"))
@@ -629,24 +654,36 @@ object PipelineQueries {
       .agg(transform(array_sort(collect_list(col("pc"))), p => p.getField("c")).as("ccv"))
       .select(col("m"), col("cell").as("cent_id"), col("ccv"),
         dotC(col("ccv"), col("ccv")).as("nccv"))
-      .localCheckpoint() // see `subs` — two differently-projected consumers
-    // narrow-row: pick the winning cent_id per (vec, m), then fetch its
-    // ccv with one broadcast join — the winning 8-dim array no longer
-    // rides the aggregation buffer of every pair row
-    subs.join(broadcast(cent), Seq("m"))
-      .select(col("vec_id"), col("m"),
-        (-l2n(col("nsv"), col("sv"), col("ccv"), col("nccv"))).as("nd"),
-        col("cent_id"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(max_by(col("cent_id"), struct(col("nd"),
-        (-col("cent_id")).as("nid"))).as("cent_id"))
-      .join(broadcast(cent.select(col("m"), col("cent_id"), col("ccv"))),
-        Seq("m", "cent_id"))
-      .select(col("vec_id"), struct(col("m"), col("ccv").as("w")).as("mw"))
-      .groupBy(col("vec_id"))
-      .agg(flatten(transform(array_sort(collect_list(col("mw"))),
-        p => p.getField("w"))).as("rhat"))
+    e.withColumn("rhat", pqReconstructCol(col("v"), pqCollect(cent)))
   }
+
+  /** Per-subspace collected PQ codebook: (ids, vecs, norms) for each m,
+    * ids ascending (determinism only — the argmin scans every entry).
+    * Empty training cells are simply absent, exactly as in the former
+    * relational join against the trained `cent`. */
+  private type PqBook = IndexedSeq[(IndexedSeq[Int], IndexedSeq[IndexedSeq[Double]], IndexedSeq[Double])]
+
+  private def pqCollect(df: DataFrame): PqBook = {
+    val rows = df.select(col("m"), col("cent_id"), col("ccv"), col("nccv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq,
+        r.getDouble(3)))
+    (0 until PqM).map { m =>
+      val g = rows.filter(_._1 == m).sortBy(_._2)
+      (g.map(_._2).toIndexedSeq, g.map(_._3).toIndexedSeq,
+        g.map(_._4).toIndexedSeq)
+    }
+  }
+
+  private def pqCodesCol(v: Column, cb: PqBook): Column =
+    graft.functions.NearestCentroidExpr.pqCodes(v,
+      typedLit(cb.map(_._1)), typedLit(cb.map(_._2)), typedLit(cb.map(_._3)),
+      lit(PqSub))
+
+  private def pqReconstructCol(v: Column, cb: PqBook): Column =
+    graft.functions.NearestCentroidExpr.pqReconstruct(v,
+      typedLit(cb.map(_._1)), typedLit(cb.map(_._2)), typedLit(cb.map(_._3)),
+      lit(PqSub))
 
   /** PQ/ADC candidates: every vector scored against each query by
     * `dot(q, rhat)/(|q|·|v|)` (compressed-domain approximate cosine), the
@@ -655,12 +692,12 @@ object PipelineQueries {
   private def pqCandidatesFull(s: SparkSession, dir: String): DataFrame = {
     val e = embed(s, dir).withColumn("nv", sqrt(dotC(col("v"), col("v"))))
     val (k, c, stride) = pqParams(e.count())
-    val rhat = pqReconstruct(e, k, stride)
+    val er = pqWithRhat(e, k, stride) // rhat is a projection column on e now
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nqv"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("ac").desc, col("neighbor_id").asc)
-    broadcast(q).join(e.join(rhat, Seq("vec_id")))
+    broadcast(q).join(er)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("nqv"),
         col("vec_id").as("neighbor_id"), col("v"), col("nv"),
@@ -679,7 +716,7 @@ object PipelineQueries {
     * ADC scores ONLY those cells' codes in the compressed domain, and the
     * top C of the probed set are exactly re-ranked. Both halves are the
     * already-hash-parity constructions above ([[ivfCentroids]] routing,
-    * [[pqReconstruct]] codes), composed without modification; nprobe =
+    * [[pqWithRhat]] codes), composed without modification; nprobe =
     * cells/[[IvfPqProbeDiv]] bounds the ADC pass itself (~8 B/vec packed
     * at scale) to a fraction of the corpus, and full-precision vectors are
     * touched only for the C re-rank survivors — at 100 TB that is the
@@ -691,13 +728,12 @@ object PipelineQueries {
     val n = e.count()
     val (cells, nprobe, stride) = ivfParams(n, IvfPqProbeDiv)
     val (k, c, pstride) = pqParams(n)
-    val cent = ivfCentroids(e, ivfSeeds(e, cells, stride))
-    val rhat = pqReconstruct(e, k, pstride)
+    val cb = collectCent(ivfCentroids(e, ivfSeeds(e, cells, stride)))
+    val er = pqWithRhat(e, k, pstride) // rhat is a projection column on e now
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("ac").desc, col("neighbor_id").asc)
-    broadcast(ivfQCells(e, cent, nprobe)).join(ivfAssigned(e, cent), Seq("cell"))
+    broadcast(ivfQCells(e, centDf(s, cb), nprobe)).join(ivfAssigned(er, cb), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .join(rhat, Seq("vec_id"))
       .select(col("query_id"), col("qv"), col("nqv"),
         col("vec_id").as("neighbor_id"), col("v"), col("nv"),
         (dotC(col("qv"), col("rhat")) / (col("nqv") * col("nv"))).as("ac"))
@@ -973,7 +1009,7 @@ object PipelineQueries {
     "dd_semdedup" -> ((s, dir) => {
       val asg = kmeansAssign(s, dir).select(col("vec_id"), col("cluster"))
       // per-vector norm computed once before the in-cluster pair join (the
-      // pqReconstruct norm trick): dot/(a.nv*b.nv) with nv = sqrt(dot(v,v))
+      // pqWithRhat norm trick): dot/(a.nv*b.nv) with nv = sqrt(dot(v,v))
       // is cosC's exact IEEE tree, evaluated with 1 dot per pair instead of 3
       val av = asg.join(embed(s, dir), Seq("vec_id"))
         .withColumn("nv", sqrt(dotC(col("v"), col("v"))))
@@ -1971,7 +2007,7 @@ object PipelineQueries {
   /** PQ codebook + reconstruction CTE chain (pqp params → subspace slices
     * → stratified seeds → one fixed-point Lloyd step per subspace → code
     * assignment → per-vector reconstruction `rhat(vec_id, rv)`), matching
-    * [[pqReconstruct]] expression for expression. Assumes `e(vec_id, v)`;
+    * [[pqWithRhat]] expression for expression. Assumes `e(vec_id, v)`;
     * CTE names are pq-prefixed so the chain composes with
     * [[ivfIndexCtes]] in one statement (the IVFADC oracle). */
   private val pqRhatCtes: String = {
