@@ -92,6 +92,15 @@ case class NearestCentroidCosExpr(children: Seq[Expression])
   override def nullable: Boolean = true
   override def prettyName: String = "nearest_centroid_cos"
 
+  /** Semantically deterministic, but declared non-deterministic as the
+    * optimizer-duplication guard (optimization guide §4.4): with the flag
+    * on, an O(K·dim) call is never substituted through CollapseProject or
+    * a pushed-down filter — the join's inferred isnotnull(cell) predicate
+    * was measured re-evaluating the whole argmax (plus its transform()
+    * arguments, three times over) at the scan. Evaluation order of the
+    * surviving single call is unchanged, so results are identical. */
+  override lazy val deterministic: Boolean = false
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.length == 5 &&
       children(0).dataType.isInstanceOf[ArrayType] &&
@@ -207,6 +216,10 @@ sealed abstract class PqExprBase extends Expression {
   def subDim: Int
 
   override def nullable: Boolean = true
+
+  /** See [[NearestCentroidCosExpr.deterministic]] — the same
+    * anti-duplication guard for the O(M·K·subDim) PQ loops. */
+  override lazy val deterministic: Boolean = false
 
   private def lit(i: Int): Any = {
     val c = children(i)

@@ -637,13 +637,16 @@ object PipelineQueries {
     // training codes from the SEED codebook — one generated argmin per
     // row, then the SAME fixed-point micro-unit mean aggregation; the x
     // values are v[m·PqSub + pos], exactly the sv elements the exploded
-    // form aggregated
-    val codes = e.select(pqCodesCol(col("v"), sb).as("cells"),
-        posexplode(col("v")).as(Seq("i", "x")))
-      .select((col("i") / lit(PqSub)).cast("int").as("m"),
-        (col("i") % lit(PqSub)).as("pos"), col("x"), col("cells"))
-      .select(col("m"), element_at(col("cells"), col("m") + 1).as("cell"),
-        col("pos"), col("x"))
+    // form aggregated. pq_codes is evaluated once per input row — its
+    // non-deterministic flag (see the expression's scaladoc) stops
+    // CollapseProject substituting it into the post-explode selects,
+    // where it was measured re-evaluating per exploded row (64×, 28
+    // task-CPU-seconds on the 2000-vector sf0.1 table).
+    val codes = e.select(col("v"), pqCodesCol(col("v"), sb).as("cells"))
+      .select(col("v"), posexplode(col("cells")).as(Seq("m", "cell")))
+      .select(col("m"), col("cell"),
+        posexplode(slice(col("v"), col("m") * PqSub + 1, lit(PqSub)))
+          .as(Seq("pos", "x")))
     val cent = codes
       .groupBy(col("m"), col("cell"), col("pos"))
       .agg(sum(floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long")).as("sq"),
@@ -654,6 +657,10 @@ object PipelineQueries {
       .agg(transform(array_sort(collect_list(col("pc"))), p => p.getField("c")).as("ccv"))
       .select(col("m"), col("cell").as("cent_id"), col("ccv"),
         dotC(col("ccv"), col("ccv")).as("nccv"))
+    // pq_reconstruct's non-det flag keeps rhat pinned in THIS projection:
+    // the scoring projection sits ABOVE the broadcast pair join, and a
+    // substitutable alias was measured re-evaluating the reconstruction
+    // once per (query, vector) pair (~20 task-CPU-seconds).
     e.withColumn("rhat", pqReconstructCol(col("v"), pqCollect(cent)))
   }
 
